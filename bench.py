@@ -1,0 +1,96 @@
+"""Benchmark: rays/s/chip, forward+backward+optimizer, ScanNet-MLP config.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Config matches the reference's ScanNet MLP training work budget
+(BASELINE.md): 1024 rays/step, 8x256 SDF MLP with skip@4 + PE(6),
+error-bounded sampler (128-eval sweeps x 5 iters, 10 beta bisections,
+64+32+2 final samples), 2x256 radiance MLP, eikonal batch 4x1024, full
+MonoSDF loss, Adam update.
+
+The reference publishes no benchmark numbers (BASELINE.md). vs_baseline is
+computed against REFERENCE_RAYS_PER_SEC, an estimated single-A100 figure for
+the reference implementation (~0.1 s / 1024-ray iteration, the typical
+published MonoSDF training rate class).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_RAYS_PER_SEC = 10_700.0
+NUM_RAYS = 1024
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from monosdf_tpu.data import make_synthetic_sphere_scene, sample_ray_batch
+    from monosdf_tpu.losses import LossConfig
+    from monosdf_tpu.models import MonoSDFConfig, init_monosdf
+    from monosdf_tpu.models.fields import ImplicitNetConfig, RenderingNetConfig
+    from monosdf_tpu.ops.sampler import SamplerConfig
+    from monosdf_tpu.train import (
+        OptimConfig,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = MonoSDFConfig(
+        implicit=ImplicitNetConfig(
+            feature_vector_size=256, dims=(256,) * 8, skip_in=(4,), multires=6,
+            inside_outside=True, bias=0.9, sdf_bounding_sphere=1.1,
+        ),
+        rendering=RenderingNetConfig(
+            feature_vector_size=256, dims=(256, 256), multires_view=4
+        ),
+        sampler=SamplerConfig(
+            scene_bounding_sphere=1.1, N_samples=64, N_samples_eval=128,
+            N_samples_extra=32, max_total_iters=5, intersection="cube",
+        ),
+        scene_bounding_sphere=1.1,
+    )
+
+    params = init_monosdf(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(OptimConfig(learning_rate=5e-4, decay_steps=150_000))
+    state = init_train_state(params, opt)
+    step = jax.jit(make_train_step(cfg, LossConfig(), opt), donate_argnums=(0,))
+
+    scene = make_synthetic_sphere_scene(n_images=4, img_res=64)
+    rng = np.random.default_rng(0)
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, sample_ray_batch(scene, rng, NUM_RAYS)
+    )
+
+    for i in range(WARMUP):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = NUM_RAYS * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "rays/s/chip (fwd+bwd+opt), ScanNet MLP config",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

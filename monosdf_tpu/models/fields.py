@@ -1,0 +1,249 @@
+"""SDF and radiance field networks (functional).
+
+Reference: code/model/network.py — ImplicitNetwork (:12-137),
+ImplicitNetworkGrid (:141-322), RenderingNetwork (:325-470).
+
+One ImplicitNetConfig covers both the pure-MLP and hash-grid variants
+(`use_grid`); the reference's `use_grid_feature=False` zero-feature mode is
+also supported. Gradients of the SDF w.r.t. positions come from `jax.grad`
+(sum-trick over independent points) and remain differentiable, replacing the
+reference's `torch.autograd.grad(create_graph=True)` (network.py:111-129) and
+the hand-written CUDA double-backward.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..nn import apply_linear, geometric_linear_init, init_linear, softplus_beta
+from ..ops.embedder import pe_dim, positional_encoding
+from ..ops.hashgrid import HashGridConfig, hash_encode, init_hashgrid
+
+
+# ---------------------------------------------------------------------------
+# Implicit (SDF) network
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ImplicitNetConfig:
+    feature_vector_size: int = 256
+    sdf_bounding_sphere: float = 1.1  # 0.0 disables the sphere clamp
+    d_in: int = 3
+    d_out: int = 1
+    dims: tuple = (256, 256)
+    geometric_init: bool = True
+    bias: float = 0.9
+    skip_in: tuple = ()
+    weight_norm: bool = True
+    multires: int = 6
+    sphere_scale: float = 1.0
+    inside_outside: bool = True
+    # hash-grid variant (reference ImplicitNetworkGrid)
+    use_grid: bool = False
+    use_grid_feature: bool = True
+    divide_factor: float = 1.5
+    grid: HashGridConfig = HashGridConfig()
+
+    @property
+    def grid_feature_dim(self) -> int:
+        return self.grid.output_dim if self.use_grid else 0
+
+    @property
+    def input_dim(self) -> int:
+        """Width of the MLP input: PE(x) [+ grid features]."""
+        return pe_dim(self.multires, self.d_in) + self.grid_feature_dim
+
+    @property
+    def layer_dims(self) -> tuple:
+        return (self.input_dim, *self.dims, self.d_out + self.feature_vector_size)
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.layer_dims)
+
+
+def init_implicit_net(key, cfg: ImplicitNetConfig) -> dict:
+    dims = cfg.layer_dims
+    params: dict = {}
+    keys = jax.random.split(key, cfg.num_layers)
+    for l in range(cfg.num_layers - 1):
+        out_dim = dims[l + 1] - dims[0] if (l + 1) in cfg.skip_in else dims[l + 1]
+        if cfg.geometric_init:
+            params[f"lin{l}"] = geometric_linear_init(
+                keys[l], dims[l], out_dim, l, cfg.num_layers, dims[0],
+                cfg.multires, tuple(cfg.skip_in), cfg.bias, cfg.inside_outside,
+                cfg.weight_norm,
+            )
+        else:
+            params[f"lin{l}"] = init_linear(keys[l], dims[l], out_dim, cfg.weight_norm)
+    if cfg.use_grid:
+        params["encoding"] = init_hashgrid(keys[-1], cfg.grid)
+    return params
+
+
+def implicit_apply(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """x (..., 3) -> raw net output (..., 1 + feature_vector_size).
+
+    Reference forward: network.py:79-96 (MLP) / :247-275 (grid)."""
+    if cfg.use_grid:
+        if cfg.use_grid_feature:
+            feature = hash_encode(params["encoding"], cfg.grid, x / cfg.divide_factor)
+        else:
+            feature = jnp.zeros((*x.shape[:-1], cfg.grid_feature_dim), dtype=x.dtype)
+        inp = jnp.concatenate([positional_encoding(x, cfg.multires), feature], axis=-1)
+    else:
+        inp = positional_encoding(x, cfg.multires)
+
+    h = inp
+    for l in range(cfg.num_layers - 1):
+        if l in cfg.skip_in:
+            h = jnp.concatenate([h, inp], axis=-1) / math.sqrt(2.0)
+        h = apply_linear(params[f"lin{l}"], h)
+        if l < cfg.num_layers - 2:
+            h = softplus_beta(h, 100.0)
+    return h
+
+
+def _clamp_sdf(cfg: ImplicitNetConfig, sdf: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Bounding-sphere SDF clamp so all rays eventually occlude
+    (reference network.py:115-118). The grid variant does NOT clamp
+    (reference ImplicitNetworkGrid.get_sdf_vals:307-309)."""
+    if cfg.use_grid or cfg.sdf_bounding_sphere <= 0.0:
+        return sdf
+    sphere_sdf = cfg.sphere_scale * (
+        cfg.sdf_bounding_sphere - jnp.linalg.norm(x, axis=-1, keepdims=True)
+    )
+    return jnp.minimum(sdf, sphere_sdf)
+
+
+def sdf_value(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """x (..., 3) -> sdf (..., 1)."""
+    out = implicit_apply(params, cfg, x)
+    return _clamp_sdf(cfg, out[..., :1], x)
+
+
+def sdf_feat_grad(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray):
+    """x (..., 3) -> (sdf (...,1), features (...,F), grad_x sdf (...,3)).
+
+    The gradient is exact (reverse-mode over the sum of independent per-point
+    SDFs) and itself differentiable, so eikonal grad-of-grad works."""
+    def sdf_sum(xx):
+        out = implicit_apply(params, cfg, xx)
+        sdf = _clamp_sdf(cfg, out[..., :1], xx)
+        return jnp.sum(sdf), (sdf, out[..., 1:])
+
+    (_, (sdf, feat)), grads = jax.value_and_grad(sdf_sum, has_aux=True)(x)
+    return sdf, feat, grads
+
+
+def sdf_gradient(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """x (..., 3) -> grad_x sdf (..., 3). NOTE: the reference's gradient_sdf
+    does NOT apply the sphere clamp (network.py:98-109); match that."""
+    def sdf_sum(xx):
+        return jnp.sum(implicit_apply(params, cfg, xx)[..., :1])
+
+    return jax.grad(sdf_sum)(x)
+
+
+# ---------------------------------------------------------------------------
+# Rendering (radiance) network
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class RenderingNetConfig:
+    feature_vector_size: int = 256
+    mode: str = "idr"  # 'idr' (x, view, n, feat) or 'nerf' (view, feat)
+    d_in: int = 9
+    d_out: int = 3
+    dims: tuple = (256, 256)
+    weight_norm: bool = True
+    multires_view: int = 4
+    per_image_code: bool = False
+    if_hdr: bool = False
+    spec: bool = False
+    max_images: int = 1024
+    code_dim: int = 32
+
+    @property
+    def layer_dims(self) -> tuple:
+        d0 = self.d_in + self.feature_vector_size
+        if self.multires_view > 0:
+            d0 += pe_dim(self.multires_view, 3) - 3
+        if self.per_image_code:
+            d0 += self.code_dim
+        return (d0, *self.dims, self.d_out)
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.layer_dims)
+
+
+def init_rendering_net(key, cfg: RenderingNetConfig) -> dict:
+    dims = cfg.layer_dims
+    params: dict = {}
+    keys = jax.random.split(key, cfg.num_layers)
+    for l in range(cfg.num_layers - 1):
+        d_in = dims[l]
+        if cfg.spec and l == cfg.num_layers - 3:
+            d_in = dims[l] - 3  # diffuse RGB split off before the spec branch
+        params[f"lin{l}"] = init_linear(keys[l], d_in, dims[l + 1], cfg.weight_norm)
+    if cfg.per_image_code:
+        params["embeddings"] = jax.random.uniform(
+            keys[-1], (cfg.max_images, cfg.code_dim), minval=-1e-4, maxval=1e-4
+        )
+    return params
+
+
+def rendering_apply(
+    params: dict,
+    cfg: RenderingNetConfig,
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    view_dirs: jnp.ndarray,
+    feature_vectors: jnp.ndarray,
+    image_code: jnp.ndarray | None = None,
+) -> dict:
+    """Per-sample radiance (reference network.py:389-470).
+
+    All inputs are (N, ·) flat sample tensors; image_code (N, code_dim) is the
+    already-gathered per-image latent (or None)."""
+    if cfg.multires_view > 0:
+        view_dirs = positional_encoding(view_dirs, cfg.multires_view)
+
+    if cfg.mode == "idr":
+        h = jnp.concatenate([points, view_dirs, normals, feature_vectors], axis=-1)
+    elif cfg.mode == "nerf":
+        h = jnp.concatenate([view_dirs, feature_vectors], axis=-1)
+    else:
+        raise NotImplementedError(cfg.mode)
+
+    if cfg.per_image_code:
+        assert image_code is not None
+        h = jnp.concatenate([h, image_code], axis=-1)
+
+    if cfg.spec:
+        # diffuse trunk -> split 3ch diffuse + spec branch, summed
+        # (reference network.py:427-454); HDR only.
+        assert cfg.if_hdr
+        for l in range(cfg.num_layers - 3):
+            h = jax.nn.relu(apply_linear(params[f"lin{l}"], h))
+        color_diff, h = h[:, :3], h[:, 3:]
+        for l in range(cfg.num_layers - 3, cfg.num_layers - 1):
+            h = jax.nn.relu(apply_linear(params[f"lin{l}"], h))
+        color_spec = h
+        return {
+            "rgb": color_diff + color_spec,
+            "rgb_diff": color_diff,
+            "rgb_spec": color_spec,
+        }
+
+    for l in range(cfg.num_layers - 1):
+        h = apply_linear(params[f"lin{l}"], h)
+        if l < cfg.num_layers - 2:
+            h = jax.nn.relu(h)
+    h = jax.nn.relu(h) if cfg.if_hdr else jax.nn.sigmoid(h)
+    return {"rgb": h}

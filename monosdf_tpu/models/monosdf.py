@@ -1,0 +1,189 @@
+"""Top-level MonoSDF model: ray generation -> error-bounded sampling ->
+SDF+radiance evaluation -> volume rendering (+ eikonal points at train time).
+
+Reference: code/model/network.py — MonoSDFNetwork (:472-640).
+
+Functional API: ``render_rays(params, cfg, rays, key, training)`` over a flat
+ray batch. Image-mode inputs (uv + pose + K) are converted by
+``rays_from_camera`` which mirrors the reference's forward preamble
+(network.py:502-526); pixel-mode datasets precompute the same ray tensors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.density import get_beta, laplace_density
+from ..ops.geometry import get_camera_params
+from ..ops.render import render_ray_outputs, volume_rendering_weights
+from ..ops.sampler import SamplerConfig, error_bound_z_vals
+from .fields import (
+    ImplicitNetConfig,
+    RenderingNetConfig,
+    init_implicit_net,
+    init_rendering_net,
+    rendering_apply,
+    sdf_feat_grad,
+    sdf_gradient,
+    sdf_value,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MonoSDFConfig:
+    implicit: ImplicitNetConfig = ImplicitNetConfig()
+    rendering: RenderingNetConfig = RenderingNetConfig()
+    sampler: SamplerConfig = SamplerConfig()
+    scene_bounding_sphere: float = 1.1
+    white_bkgd: bool = False
+    bg_color: tuple = (1.0, 1.0, 1.0)
+    beta_init: float = 0.1
+    beta_min: float = 1e-4
+    if_hdr: bool = False
+    # dtype for network compute; params stay f32 (bf16 compute is a TPU win)
+    compute_dtype: str = "float32"
+
+
+def init_monosdf(key, cfg: MonoSDFConfig) -> dict:
+    k_imp, k_ren = jax.random.split(key)
+    return {
+        "implicit": init_implicit_net(k_imp, cfg.implicit),
+        "rendering": init_rendering_net(k_ren, cfg.rendering),
+        "density": {"beta": jnp.asarray(cfg.beta_init, jnp.float32)},
+    }
+
+
+def rays_from_camera(uv: jnp.ndarray, pose: jnp.ndarray, intrinsics: jnp.ndarray):
+    """uv (B,N,2), pose (B,4,4), intrinsics (B,4,4) -> flat ray batch dict.
+
+    depth_scale is the z component of the *camera-frame* normalized ray
+    direction so that rendered distance becomes z-depth (reference
+    network.py:509-522)."""
+    ray_dirs, cam_loc = get_camera_params(uv, pose, intrinsics)
+    eye = jnp.tile(jnp.eye(4, dtype=pose.dtype)[None], (pose.shape[0], 1, 1))
+    ray_dirs_cam, _ = get_camera_params(uv, eye, intrinsics)
+
+    B, N, _ = ray_dirs.shape
+    rays_o = jnp.repeat(cam_loc[:, None, :], N, axis=1).reshape(-1, 3)
+    poses = jnp.repeat(pose[:, None], N, axis=1).reshape(-1, 4, 4)
+    return {
+        "rays_o": rays_o,
+        "rays_d": ray_dirs.reshape(-1, 3),
+        "depth_scale": ray_dirs_cam.reshape(-1, 3)[:, 2:],
+        "pose": poses,
+    }
+
+
+def render_rays(
+    params: dict,
+    cfg: MonoSDFConfig,
+    rays: dict,
+    key: jax.Array,
+    training: bool,
+    image_code: jnp.ndarray | None = None,
+) -> dict:
+    """Render a flat ray batch.
+
+    rays: dict with rays_o (R,3), rays_d (R,3) normalized, depth_scale (R,1),
+    pose (R,4,4) camera-to-world (for rotating normals into camera frame).
+    image_code: optional (R, code_dim) per-ray appearance code (already
+    gathered by frame index).
+
+    Returns the reference's output dict (network.py:564-624): rgb, rgb_values,
+    depth_values, z_vals, depth_vals, sdf, weights, normal_map and, when
+    training, grad_theta / grad_theta_nei.
+    """
+    k_sampler, k_eik_uniform, k_eik_neigh = jax.random.split(key, 3)
+    rays_o, rays_d = rays["rays_o"], rays["rays_d"]
+    R = rays_o.shape[0]
+
+    beta0 = jax.lax.stop_gradient(get_beta(params["density"]["beta"], cfg.beta_min))
+
+    def sampler_sdf(pts):
+        return sdf_value(params["implicit"], cfg.implicit, pts)[..., 0]
+
+    z_vals, z_eik = error_bound_z_vals(
+        sampler_sdf, rays_o, rays_d, beta0, cfg.sampler, k_sampler, training
+    )
+    S = z_vals.shape[1]
+
+    points = rays_o[:, None, :] + z_vals[..., None] * rays_d[:, None, :]
+    points_flat = points.reshape(-1, 3)
+    dirs_flat = jnp.repeat(rays_d[:, None, :], S, axis=1).reshape(-1, 3)
+
+    sdf, feature_vectors, gradients = sdf_feat_grad(
+        params["implicit"], cfg.implicit, points_flat
+    )
+
+    code_flat = None
+    if image_code is not None:
+        code_flat = jnp.repeat(image_code[:, None, :], S, axis=1).reshape(
+            -1, image_code.shape[-1]
+        )
+
+    render_out = rendering_apply(
+        params["rendering"], cfg.rendering,
+        points_flat, gradients, dirs_flat, feature_vectors, code_flat,
+    )
+    rgb = render_out["rgb"].reshape(R, S, 3)
+
+    beta = get_beta(params["density"]["beta"], cfg.beta_min)
+    density = laplace_density(sdf[..., 0].reshape(R, S), beta)
+    weights = volume_rendering_weights(z_vals, density)
+
+    # guarded norm: jnp.linalg.norm has a NaN gradient at exactly-zero input
+    grad_sq = jnp.sum(gradients * gradients, axis=-1, keepdims=True)
+    normals = gradients / (jnp.sqrt(jnp.maximum(grad_sq, 1e-24)) + 1e-6)
+    normals = normals.reshape(R, S, 3)
+
+    rgb_values, depth_values, normal_map = render_ray_outputs(
+        weights, z_vals, rgb, normals, rays["depth_scale"]
+    )
+
+    if cfg.white_bkgd:
+        acc_map = jnp.sum(weights, axis=-1)
+        bg = jnp.asarray(cfg.bg_color, dtype=rgb_values.dtype)
+        rgb_values = rgb_values + (1.0 - acc_map[..., None]) * bg[None]
+
+    # Rotate world normals into the camera frame (reference network.py:607-620).
+    rot = jnp.swapaxes(rays["pose"][:, :3, :3], 1, 2)
+    normal_map = jnp.einsum("rij,rj->ri", rot, normal_map)
+
+    output = {
+        "rgb": rgb,
+        "rgb_values": rgb_values,
+        "depth_values": depth_values,
+        "z_vals": z_vals,
+        "depth_vals": z_vals * rays["depth_scale"],
+        "sdf": sdf.reshape(R, S),
+        "weights": weights,
+        "normal_map": normal_map,
+    }
+
+    if cfg.rendering.spec:
+        rgb_spec = render_out["rgb_spec"].reshape(R, S, 3)
+        output["rgb_spec"] = rgb_spec
+        output["rgb_spec_values"] = jnp.sum(weights[..., None] * rgb_spec, axis=1)
+
+    if training:
+        # Eikonal points: uniform-in-box + near-surface + jittered neighbours
+        # (reference network.py:583-600).
+        bs = cfg.scene_bounding_sphere
+        eik_uniform = jax.random.uniform(
+            k_eik_uniform, (R, 3), minval=-bs, maxval=bs, dtype=rays_o.dtype
+        )
+        eik_near = rays_o + z_eik * rays_d
+        eik_points = jnp.concatenate([eik_uniform, eik_near], axis=0)
+        neighbours = eik_points + (
+            jax.random.uniform(k_eik_neigh, eik_points.shape, dtype=rays_o.dtype) - 0.5
+        ) * 0.01
+        all_eik = jnp.concatenate([eik_points, neighbours], axis=0)
+        grad_theta = sdf_gradient(params["implicit"], cfg.implicit, all_eik)
+        half = all_eik.shape[0] // 2
+        output["grad_theta"] = grad_theta[:half]
+        output["grad_theta_nei"] = grad_theta[half:]
+
+    return output

@@ -1,0 +1,158 @@
+"""Multiresolution hash-grid encoding (Instant-NGP style, smoothstep interp).
+
+Pure-JAX implementation of the reference CUDA encoder
+(code/hashencoder/src/hashencoder.cu + hashgrid.py):
+
+* per-level scale ``exp2(level*S)*H - 1`` with S = log2(per_level_scale)
+  (hashencoder.cu:152-153)
+* dense linear indexing while ``res^D <= hashmap_size``, else xor-prime hash
+  (hashencoder.cu:35-72)
+* **smoothstep** corner weights ``s(v)=v^2(3-2v)`` — C^1, so second
+  derivatives exist (hashencoder.cu:87-93); this is what lets the eikonal
+  loss differentiate through the encoder
+* inputs outside [0,1]^D produce zero output and zero gradient
+  (hashencoder.cu:124-149)
+
+Because this is plain jnp, JAX autodiff provides the first AND second
+backward passes that the reference hand-writes in CUDA
+(hashencoder.cu:257-595) — gradients scatter-add into the table via XLA's
+deterministic segment-sum. A fused Pallas kernel can be slotted behind the
+same API; this function is the parity oracle for it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_PRIMES = (1, 2654435761, 805459861)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridConfig:
+    input_dim: int = 3
+    num_levels: int = 16
+    level_dim: int = 2
+    per_level_scale: float = 2.0
+    base_resolution: int = 16
+    log2_hashmap_size: int = 19
+    desired_resolution: int | None = 2048
+
+    @property
+    def scale(self) -> float:
+        if self.desired_resolution is not None:
+            return float(
+                np.exp2(
+                    np.log2(self.desired_resolution / self.base_resolution)
+                    / (self.num_levels - 1)
+                )
+            )
+        return float(self.per_level_scale)
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_levels * self.level_dim
+
+    def level_params(self):
+        """Static per-level (offset, hashmap_size, resolution, scale) table
+        (reference hashgrid.py:127-149 + hashencoder.cu:151-153)."""
+        max_params = 2**self.log2_hashmap_size
+        S = np.log2(self.scale)
+        out = []
+        offset = 0
+        for lvl in range(self.num_levels):
+            res_alloc = int(np.ceil(self.base_resolution * self.scale**lvl))
+            params_in_level = min(max_params, res_alloc**self.input_dim)
+            fscale = float(np.exp2(lvl * S) * self.base_resolution - 1.0)
+            res_kernel = int(np.ceil(fscale)) + 1
+            out.append((offset, params_in_level, res_kernel, fscale))
+            offset += params_in_level
+        return out
+
+    @property
+    def table_size(self) -> int:
+        levels = self.level_params()
+        off, size, _, _ = levels[-1]
+        return off + size
+
+
+def init_hashgrid(key, cfg: HashGridConfig) -> dict:
+    """Embeddings ~ U(-1e-4, 1e-4) (reference hashgrid.py:147-149)."""
+    emb = jax.random.uniform(
+        key, (cfg.table_size, cfg.level_dim), minval=-1e-4, maxval=1e-4
+    )
+    return {"embeddings": emb}
+
+
+def _smoothstep(v):
+    return v * v * (3.0 - 2.0 * v)
+
+
+def _corner_index(pos_grid, hashmap_size: int, resolution: int, dense: bool):
+    """pos_grid: (..., D) int32 corner coordinates -> flat table index (...,).
+
+    Dense linear index when the level grid fits the table, else xor-prime
+    hash; both reduced modulo hashmap_size (hashencoder.cu:54-72). Arithmetic
+    is uint32 with natural wraparound, like the CUDA kernel.
+    """
+    pg = pos_grid.astype(jnp.uint32)
+    if dense:
+        D = pos_grid.shape[-1]
+        strides = jnp.asarray(
+            [resolution**d for d in range(D)], dtype=jnp.uint32
+        )
+        index = jnp.sum(pg * strides, axis=-1)
+    else:
+        primes = jnp.asarray(_PRIMES[: pos_grid.shape[-1]], dtype=jnp.uint32)
+        index = pg[..., 0] * primes[0]
+        for d in range(1, pos_grid.shape[-1]):
+            index = index ^ (pg[..., d] * primes[d])
+    return (index % jnp.uint32(hashmap_size)).astype(jnp.int32)
+
+
+def hash_encode_01(params: dict, cfg: HashGridConfig, x01: jnp.ndarray) -> jnp.ndarray:
+    """Encode points already mapped to [0,1]^D. x01: (B, D) -> (B, L*C).
+
+    Output layout is level-major per point: [B, L*C] with level blocks of C,
+    matching the reference's permute at hashgrid.py:44.
+    """
+    emb = params["embeddings"]
+    B, D = x01.shape
+    assert D == cfg.input_dim
+    C = cfg.level_dim
+
+    oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1, keepdims=True)  # (B,1)
+    in_bounds = 1.0 - oob.astype(x01.dtype)
+
+    outputs = []
+    for offset, hashmap_size, resolution, fscale in cfg.level_params():
+        dense = resolution**D <= hashmap_size
+        pos = x01 * jnp.asarray(fscale, x01.dtype)
+        pos_grid = jnp.clip(jnp.floor(pos), 0, resolution).astype(jnp.int32)
+        frac = pos - pos_grid.astype(x01.dtype)
+        w = _smoothstep(jnp.clip(frac, 0.0, 1.0))  # (B, D)
+
+        level_out = jnp.zeros((B, C), dtype=x01.dtype)
+        for corner in range(1 << D):
+            corner_bits = [(corner >> d) & 1 for d in range(D)]
+            corner_off = jnp.asarray(corner_bits, dtype=jnp.int32)
+            cw = jnp.prod(
+                jnp.where(jnp.asarray(corner_bits, dtype=bool), w, 1.0 - w), axis=-1
+            )  # (B,)
+            idx = _corner_index(pos_grid + corner_off, hashmap_size, resolution, dense)
+            vals = jnp.take(emb, idx + offset, axis=0)  # (B, C)
+            level_out = level_out + cw[:, None] * vals
+        outputs.append(level_out * in_bounds)
+
+    return jnp.concatenate(outputs, axis=-1)
+
+
+def hash_encode(params: dict, cfg: HashGridConfig, x: jnp.ndarray, size: float = 1.0):
+    """Encode real-world points in [-size, size]^D (reference hashgrid.py:154-163)."""
+    x01 = (x + size) / (2.0 * size)
+    prefix = x.shape[:-1]
+    out = hash_encode_01(params, cfg, x01.reshape(-1, cfg.input_dim))
+    return out.reshape(*prefix, cfg.output_dim)

@@ -1,0 +1,64 @@
+"""The jitted training step: forward render -> loss -> grads -> Adam update.
+
+One fused XLA program per step (reference spreads this across
+monosdf_train.py:397-481 + DDP backward hooks). Data-parallel scale-out wraps
+the same step in shard_map (see monosdf_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses import LossConfig, monosdf_loss
+from ..models.monosdf import MonoSDFConfig, render_rays
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def init_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(params, optimizer.init(params), jnp.asarray(0, jnp.int32))
+
+
+def make_train_step(
+    cfg: MonoSDFConfig,
+    loss_cfg: LossConfig,
+    optimizer: optax.GradientTransformation,
+):
+    """Returns train_step(state, batch, key) -> (state, metrics).
+
+    batch: {'rays': {rays_o, rays_d, depth_scale, pose}, 'gt': {rgb, depth,
+    normal, mask}, optionally 'indices' (R,) int32 frame ids for per-image
+    appearance codes}.
+    """
+
+    def loss_fn(params, batch, key, step):
+        image_code = None
+        if cfg.rendering.per_image_code:
+            image_code = params["rendering"]["embeddings"][batch["indices"]]
+        outputs = render_rays(
+            params, cfg, batch["rays"], key, training=True, image_code=image_code
+        )
+        losses = monosdf_loss(loss_cfg, outputs, batch["gt"], step=step)
+        # PSNR diagnostic (reference monosdf_train.py:458-475)
+        mse = jnp.mean((outputs["rgb_values"] - batch["gt"]["rgb"]) ** 2)
+        losses["psnr"] = -10.0 * jnp.log(mse) / jnp.log(10.0)
+        return losses["loss"], losses
+
+    def train_step(state: TrainState, batch, key):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, key, state.step
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["beta"] = jnp.abs(params["density"]["beta"]) + cfg.beta_min
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step

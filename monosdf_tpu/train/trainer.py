@@ -1,0 +1,244 @@
+"""Training orchestration: the MonoSDFTrainRunner equivalent.
+
+Reference: code/training/monosdf_train.py (MonoSDFTrainRunner.__init__/run,
+:34-485). Differences by design:
+
+* the data path is host-numpy pixel gather + one jitted train step — no
+  DataLoader workers;
+* multi-device runs use the shard_map step from monosdf_tpu.parallel
+  (params replicated, rays sharded, grads pmean'd — DDP semantics);
+* checkpoints hold {params, opt_state, step} (LR schedule is a pure function
+  of step, so there is no separate scheduler state);
+* validation renders images with a single fixed-shape chunked program.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config.schema import ExperimentConfig
+from ..losses import srgb_gamma
+from ..models import init_monosdf, render_rays
+from ..meshing import extract_mesh, write_ply
+from ..eval.metrics import psnr as psnr_np
+from .checkpoint import load_checkpoint, restore_state, save_checkpoint
+from .optim import make_optimizer
+from .step import init_train_state, make_train_step
+
+
+class Trainer:
+    def __init__(
+        self,
+        exp: ExperimentConfig,
+        train_rays: dict,
+        val_images=None,          # list of dataset.image_rays(i) dicts
+        exps_root: str = "../exps",
+        expname_suffix: str = "",
+        resume: bool = False,
+        timestamp: str | None = None,
+        seed: int = 0,
+        n_devices: int = 1,
+        scale: float | None = None,
+        center=None,
+    ):
+        self.exp = exp
+        self.train_rays = train_rays
+        self.val_images = val_images or []
+        self.n_devices = n_devices
+        self.scale, self.center = scale, center
+
+        # experiment dir layout (reference monosdf_train.py:104-138)
+        name = exp.expname + expname_suffix
+        if resume:
+            timestamp = timestamp or self._find_latest_run(exps_root, name)
+        timestamp = timestamp or datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+        self.run_dir = os.path.join(exps_root, f"{timestamp}-{name}")
+        self.ckpt_dir = os.path.join(self.run_dir, "checkpoints")
+        self.plot_dir = os.path.join(self.run_dir, "plots")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        os.makedirs(self.plot_dir, exist_ok=True)
+
+        self.rng = np.random.default_rng(seed + jax.process_index())
+        self.key = jax.random.PRNGKey(seed)
+
+        params = init_monosdf(jax.random.PRNGKey(seed), exp.model)
+        self.optimizer = make_optimizer(exp.optim)
+        self.state = init_train_state(params, self.optimizer)
+
+        if n_devices > 1:
+            from ..parallel import make_mesh, make_parallel_train_step, replicate
+
+            self.mesh = make_mesh(jax.devices()[:n_devices])
+            self.step_fn = make_parallel_train_step(
+                exp.model, exp.loss, self.optimizer, self.mesh
+            )
+            self.state = replicate(self.state, self.mesh)
+        else:
+            self.mesh = None
+            self.step_fn = jax.jit(
+                make_train_step(exp.model, exp.loss, self.optimizer),
+                donate_argnums=(0,),
+            )
+
+        self.start_epoch = 0
+        if resume and os.path.exists(os.path.join(self.ckpt_dir, "latest.ckpt")):
+            payload = load_checkpoint(self.ckpt_dir)
+            self.state = restore_state(self.state, payload)
+            self.start_epoch = payload["epoch"]
+            print(f"resumed from step {payload['step']} (epoch {payload['epoch']})")
+
+        n_rays_total = train_rays["rays_o"].shape[0]
+        self.iters_per_epoch = max(1, n_rays_total // exp.num_pixels)
+        self.n_epochs = max(1, exp.max_total_iters // max(
+            1, self.iters_per_epoch
+        ))
+        self.metrics_log = open(os.path.join(self.run_dir, "metrics.jsonl"), "a")
+
+    @staticmethod
+    def _find_latest_run(exps_root: str, name: str):
+        """Resume-by-prefix lookup (reference monosdf_train.py:69-84)."""
+        if not os.path.isdir(exps_root):
+            return None
+        runs = sorted(
+            d for d in os.listdir(exps_root) if d.endswith(f"-{name}")
+        )
+        return runs[-1].split("-" + name)[0] if runs else None
+
+    # ------------------------------------------------------------------
+    def sample_batch(self, num_rays: int):
+        tr = self.train_rays
+        idx = self.rng.integers(0, tr["rays_o"].shape[0], size=(num_rays,))
+        batch = {
+            "rays": {
+                k: jnp.asarray(tr[k][idx])
+                for k in ("rays_o", "rays_d", "depth_scale", "pose")
+            },
+            "gt": {
+                k: jnp.asarray(tr[k][idx]) for k in ("rgb", "depth", "normal", "mask")
+            },
+        }
+        if self.exp.model.rendering.per_image_code:
+            batch["indices"] = jnp.asarray(tr["indices"][idx])
+        return batch
+
+    def train(self, max_iters: int | None = None, log_every: int = 50):
+        exp = self.exp
+        max_iters = max_iters or exp.max_total_iters
+        num_rays = exp.num_pixels * max(1, self.n_devices)
+
+        it0 = int(jax.device_get(self.state.step))
+        t_last = time.perf_counter()
+        for it in range(it0, max_iters):
+            batch = self.sample_batch(num_rays)
+            if self.mesh is not None:
+                from ..parallel import shard_batch
+
+                batch = shard_batch(batch, self.mesh)
+            self.key, sub = jax.random.split(self.key)
+            self.state, metrics = self.step_fn(self.state, batch, sub)
+
+            if (it + 1) % log_every == 0 or it == it0:
+                metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                dt = time.perf_counter() - t_last
+                rays_s = num_rays * (log_every if it != it0 else 1) / dt
+                t_last = time.perf_counter()
+                rec = {"iter": it + 1, "rays_per_sec": round(rays_s, 1), **metrics}
+                print(
+                    f"[{it + 1}/{max_iters}] loss={metrics.get('loss', 0):.4f} "
+                    f"psnr={metrics.get('psnr', 0):.2f} beta={metrics.get('beta', 0):.4f} "
+                    f"({rays_s:,.0f} rays/s)"
+                )
+                self.metrics_log.write(json.dumps(rec) + "\n")
+                self.metrics_log.flush()
+
+            epoch = (it + 1) // self.iters_per_epoch
+            if (it + 1) % (self.iters_per_epoch * exp.checkpoint_freq) == 0:
+                self.save(epoch)
+        self.save((max_iters) // self.iters_per_epoch)
+        return self.state
+
+    def save(self, epoch: int):
+        if jax.process_index() == 0:
+            save_checkpoint(self.ckpt_dir, jax.device_get(self.state), epoch)
+
+    # ------------------------------------------------------------------
+    def params(self):
+        return self.state.params
+
+    def render_image(self, image: dict, chunk: int | None = None):
+        """Chunked full-image render (reference split_input/merge_output,
+        monosdf_train.py:347-387). Returns dict of numpy maps."""
+        from ..ops.chunking import chunked_apply
+
+        chunk = chunk or self.exp.split_n_pixels
+        params = self.params()
+        cfg = self.exp.model
+        rays = image["rays"]
+        n = rays["rays_o"].shape[0]
+
+        code = None
+        if cfg.rendering.per_image_code:
+            code = params["rendering"]["embeddings"][image["frame_idx"]][None]
+
+        def render_chunk(o, d, s, p):
+            r = {"rays_o": o, "rays_d": d, "depth_scale": s, "pose": p}
+            ic = None if code is None else jnp.tile(code, (o.shape[0], 1))
+            out = render_rays(
+                params, cfg, r, jax.random.PRNGKey(0), training=False, image_code=ic
+            )
+            return {
+                "rgb": out["rgb_values"],
+                "depth": out["depth_values"],
+                "normal": out["normal_map"],
+            }
+
+        out = chunked_apply(
+            jax.jit(render_chunk), n, chunk,
+            jnp.asarray(rays["rays_o"]), jnp.asarray(rays["rays_d"]),
+            jnp.asarray(rays["depth_scale"]), jnp.asarray(rays["pose"]),
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def validate(self, max_images: int = 1):
+        """Render val views, compute PSNR (gamma'd when HDR, reference
+        eval.py:124-139)."""
+        results = []
+        for image in self.val_images[:max_images]:
+            out = self.render_image(image)
+            pred, gt = out["rgb"], image["gt"]["rgb"]
+            if self.exp.model.if_hdr:
+                pred = np.asarray(srgb_gamma(jnp.asarray(pred)))
+                gt = np.asarray(srgb_gamma(jnp.asarray(gt)))
+            results.append({"frame_idx": image["frame_idx"], "psnr": psnr_np(pred, gt)})
+        return results
+
+    def export_mesh(self, path: str | None = None, resolution: int | None = None,
+                    world_space: bool = False):
+        params = self.params()
+        cfg = self.exp.model
+
+        def sdf_fn(pts):
+            from ..models.fields import sdf_value
+
+            return sdf_value(params["implicit"], cfg.implicit, pts)[..., 0]
+
+        verts, faces = extract_mesh(
+            sdf_fn,
+            resolution=resolution or self.exp.plot_resolution,
+            grid_boundary=self.exp.grid_boundary,
+            scale=self.scale if world_space else None,
+            center=self.center if world_space else None,
+        )
+        path = path or os.path.join(
+            self.plot_dir, f"surface_{int(jax.device_get(self.state.step))}.ply"
+        )
+        write_ply(path, verts, faces)
+        return path, verts, faces

