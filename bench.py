@@ -56,6 +56,7 @@ def main():
             N_samples_extra=32, max_total_iters=5, intersection="cube",
         ),
         scene_bounding_sphere=1.1,
+        compute_dtype="bfloat16",  # sampler sweeps only; diff'd path stays f32
     )
 
     params = init_monosdf(jax.random.PRNGKey(0), cfg)
@@ -69,15 +70,23 @@ def main():
         jnp.asarray, sample_ray_batch(scene, rng, NUM_RAYS)
     )
 
+    # NOTE: in this environment block_until_ready does not wait for remote
+    # execution; only a host fetch does. Timing therefore runs ITERS chained
+    # steps and fetches the LAST loss (which transitively forces every step),
+    # subtracting one measured round-trip latency.
     for i in range(WARMUP):
         state, metrics = step(state, batch, jax.random.PRNGKey(i))
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])  # force warmup + compile
+
+    t_rt = time.perf_counter()
+    _ = float(metrics["loss"])  # round-trip latency on materialized value
+    rt = time.perf_counter() - t_rt
 
     t0 = time.perf_counter()
     for i in range(ITERS):
         state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+    _ = float(metrics["loss"])
+    dt = time.perf_counter() - t0 - rt
 
     rays_per_sec = NUM_RAYS * ITERS / dt
     print(

@@ -85,10 +85,13 @@ def init_implicit_net(key, cfg: ImplicitNetConfig) -> dict:
     return params
 
 
-def implicit_apply(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray) -> jnp.ndarray:
+def implicit_apply(
+    params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray, dtype=None
+) -> jnp.ndarray:
     """x (..., 3) -> raw net output (..., 1 + feature_vector_size).
 
-    Reference forward: network.py:79-96 (MLP) / :247-275 (grid)."""
+    Reference forward: network.py:79-96 (MLP) / :247-275 (grid).
+    ``dtype`` enables mixed-precision matmuls (bf16 in, f32 accumulate)."""
     if cfg.use_grid:
         if cfg.use_grid_feature:
             feature = hash_encode(params["encoding"], cfg.grid, x / cfg.divide_factor)
@@ -102,7 +105,7 @@ def implicit_apply(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray) -> jnp.
     for l in range(cfg.num_layers - 1):
         if l in cfg.skip_in:
             h = jnp.concatenate([h, inp], axis=-1) / math.sqrt(2.0)
-        h = apply_linear(params[f"lin{l}"], h)
+        h = apply_linear(params[f"lin{l}"], h, dtype=dtype)
         if l < cfg.num_layers - 2:
             h = softplus_beta(h, 100.0)
     return h
@@ -120,33 +123,49 @@ def _clamp_sdf(cfg: ImplicitNetConfig, sdf: jnp.ndarray, x: jnp.ndarray) -> jnp.
     return jnp.minimum(sdf, sphere_sdf)
 
 
-def sdf_value(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray) -> jnp.ndarray:
+def sdf_value(
+    params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray, dtype=None
+) -> jnp.ndarray:
     """x (..., 3) -> sdf (..., 1)."""
-    out = implicit_apply(params, cfg, x)
+    out = implicit_apply(params, cfg, x, dtype=dtype)
     return _clamp_sdf(cfg, out[..., :1], x)
 
 
 def sdf_feat_grad(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray):
     """x (..., 3) -> (sdf (...,1), features (...,F), grad_x sdf (...,3)).
 
-    The gradient is exact (reverse-mode over the sum of independent per-point
-    SDFs) and itself differentiable, so eikonal grad-of-grad works."""
-    def sdf_sum(xx):
+    The spatial gradient uses FORWARD mode (jax.linearize + 3 basis JVPs):
+    the primal forward is shared across tangents, and the eikonal loss's
+    grad-of-grad becomes reverse-over-forward — exact, and unlike
+    reverse-over-reverse it does not crash the TPU XLA fusion pass (observed
+    SIGILL in TpuPriorityFusionQueue on the double-backward graph). This is
+    the idiomatic TPU formulation of the reference's
+    torch.autograd.grad(create_graph=True) (network.py:111-129)."""
+    def f(xx):
         out = implicit_apply(params, cfg, xx)
         sdf = _clamp_sdf(cfg, out[..., :1], xx)
-        return jnp.sum(sdf), (sdf, out[..., 1:])
+        return jnp.concatenate([sdf, out[..., 1:]], axis=-1)
 
-    (_, (sdf, feat)), grads = jax.value_and_grad(sdf_sum, has_aux=True)(x)
-    return sdf, feat, grads
+    out, jvp_fn = jax.linearize(f, x)
+    basis = jnp.eye(3, dtype=x.dtype)
+    grads = jnp.stack(
+        [jvp_fn(jnp.broadcast_to(b, x.shape))[..., 0] for b in basis], axis=-1
+    )
+    return out[..., :1], out[..., 1:], grads
 
 
 def sdf_gradient(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray) -> jnp.ndarray:
-    """x (..., 3) -> grad_x sdf (..., 3). NOTE: the reference's gradient_sdf
-    does NOT apply the sphere clamp (network.py:98-109); match that."""
-    def sdf_sum(xx):
-        return jnp.sum(implicit_apply(params, cfg, xx)[..., :1])
+    """x (..., 3) -> grad_x sdf (..., 3) by forward-mode (see sdf_feat_grad).
+    NOTE: the reference's gradient_sdf does NOT apply the sphere clamp
+    (network.py:98-109); match that."""
+    def f(xx):
+        return implicit_apply(params, cfg, xx)[..., 0]
 
-    return jax.grad(sdf_sum)(x)
+    _, jvp_fn = jax.linearize(f, x)
+    basis = jnp.eye(3, dtype=x.dtype)
+    return jnp.stack(
+        [jvp_fn(jnp.broadcast_to(b, x.shape)) for b in basis], axis=-1
+    )
 
 
 # ---------------------------------------------------------------------------

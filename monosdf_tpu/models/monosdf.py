@@ -102,8 +102,15 @@ def render_rays(
 
     beta0 = jax.lax.stop_gradient(get_beta(params["density"]["beta"], cfg.beta_min))
 
+    # The sampler's SDF sweeps only guide sample placement (no gradients
+    # flow); run them in the configured compute dtype (bf16 on TPU) while
+    # the differentiated forward below stays f32.
+    sampler_dtype = (
+        jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype != "float32" else None
+    )
+
     def sampler_sdf(pts):
-        return sdf_value(params["implicit"], cfg.implicit, pts)[..., 0]
+        return sdf_value(params["implicit"], cfg.implicit, pts, dtype=sampler_dtype)[..., 0]
 
     z_vals, z_eik = error_bound_z_vals(
         sampler_sdf, rays_o, rays_d, beta0, cfg.sampler, k_sampler, training

@@ -44,14 +44,25 @@ def _wrap_weight_norm(w: jnp.ndarray, b: jnp.ndarray, weight_norm: bool):
     return {"v": w, "g": g, "b": b}
 
 
-def apply_linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+def apply_linear(params: dict, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """Weight-norm linear. With ``dtype`` (e.g. bf16) the matmul inputs are
+    cast down but accumulation stays float32 (MXU-native mixed precision);
+    weight-norm math and bias add stay f32."""
     if "v" in params:
         v = params["v"]
         norm = jnp.linalg.norm(v, axis=0, keepdims=True)
         w = v * (params["g"][None, :] / (norm + 1e-16))
     else:
         w = params["w"]
-    return x @ w + params["b"]
+    if dtype is not None:
+        y = jax.lax.dot_general(
+            x.astype(dtype), w.astype(dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        y = x @ w
+    return y + params["b"]
 
 
 def geometric_linear_init(
