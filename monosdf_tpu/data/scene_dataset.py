@@ -305,6 +305,8 @@ class SceneDataset:
                 "mask": self.mask_images[f],
             },
             "frame_idx": f,
+            "intrinsics": self.intrinsics_all[f],
+            "img_res": self.img_res,
         }
 
     def get_scale_mat(self) -> np.ndarray:

@@ -102,6 +102,15 @@ class Trainer:
         ))
         self.metrics_log = open(os.path.join(self.run_dir, "metrics.jsonl"), "a")
 
+        # rank-0 TensorBoard under plots/logs (reference monosdf_train.py:303-304)
+        from ..viz import MetricsWriter
+
+        self.writer = MetricsWriter(
+            os.path.join(self.plot_dir, "logs"),
+            enabled=jax.process_index() == 0,
+        )
+        self._gt_plotted = False
+
     @staticmethod
     def _find_latest_run(exps_root: str, name: str):
         """Resume-by-prefix lookup (reference monosdf_train.py:69-84)."""
@@ -158,12 +167,55 @@ class Trainer:
                 )
                 self.metrics_log.write(json.dumps(rec) + "\n")
                 self.metrics_log.flush()
+                tb = dict(metrics)
+                if tb.get("beta"):
+                    tb["alpha"] = 1.0 / tb["beta"]
+                tb["rays_per_sec"] = rays_s
+                self.writer.scalars(tb, it + 1, prefix="train/")
 
             epoch = (it + 1) // self.iters_per_epoch
             if (it + 1) % (self.iters_per_epoch * exp.checkpoint_freq) == 0:
                 self.save(epoch)
+            if (
+                exp.plot_freq
+                and (it + 1) % (self.iters_per_epoch * exp.plot_freq) == 0
+                and (it + 1) < max_iters
+            ):
+                self.plot_validation(epoch)
         self.save((max_iters) // self.iters_per_epoch)
         return self.state
+
+    def plot_validation(self, epoch: int, max_images: int = 1):
+        """Reference run() VAL block (monosdf_train.py:318-389): mesh export
+        + rendered val dashboards (PNG + TensorBoard)."""
+        if jax.process_index() != 0:
+            return
+        try:
+            self.export_mesh(
+                path=os.path.join(self.plot_dir, f"surface_{epoch}.ply")
+            )
+        except Exception as e:
+            print(f"mesh export failed: {e}")
+        from ..viz import get_plot_data, plot
+
+        step = int(jax.device_get(self.state.step))
+        for image in self.val_images[:max_images]:
+            out = self.render_image(image)
+            data = get_plot_data(out, image, image["img_res"])
+            plot(
+                data,
+                self.plot_dir,
+                epoch,
+                image["img_res"],
+                frame_idx=image["frame_idx"],
+                prefix="VAL_",
+                if_hdr=self.exp.model.if_hdr,
+                writer=self.writer,
+                tid=step,
+                plot_gt=not self._gt_plotted,
+            )
+        self._gt_plotted = True
+        self.writer.flush()
 
     def save(self, epoch: int):
         if jax.process_index() == 0:
