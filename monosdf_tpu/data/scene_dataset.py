@@ -52,6 +52,7 @@ class DatasetConfig:
     if_sample_frames: bool = True
     if_overfit_train: bool = False
     seed: int = 0
+    load_images: bool = True  # False = cameras only (mesh-eval tooling)
 
 
 def _adjust_intrinsics(intrinsics: np.ndarray, crop_type: str) -> np.ndarray:
@@ -158,6 +159,9 @@ class SceneDataset:
             pose_all.append(pose)
         self.intrinsics_all = np.stack(intrinsics_all)  # (N,4,4)
         self.pose_all = np.stack(pose_all)  # (N,4,4)
+
+        if not cfg.load_images:
+            return
 
         # --- pixel data (scene_dataset.py:189-245) ---------------------------
         self.rgb_images = np.stack(
@@ -308,6 +312,26 @@ class SceneDataset:
             "intrinsics": self.intrinsics_all[f],
             "img_res": self.img_res,
         }
+
+    def load_masks(self, subdirs=("mask", "ImMask")) -> list:
+        """Object masks as (H, W) float arrays (DTU mask culling,
+        dtu_eval/evaluate_single_scene.py:43-47). Searched in order of
+        ``subdirs``; raises if none exists."""
+        import cv2
+
+        for sub in subdirs:
+            d = os.path.join(self.instance_dir, sub)
+            if os.path.isdir(d):
+                paths = sorted(glob(os.path.join(d, "*.png")))
+                out = []
+                for p in paths:
+                    m = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+                    assert m is not None, f"failed to read {p}"
+                    if m.ndim == 3:
+                        m = m[:, :, 0]
+                    out.append(m.astype(np.float32) / (255.0 if m.dtype == np.uint8 else 1.0))
+                return out
+        raise FileNotFoundError(f"no mask dir in {self.instance_dir}: {subdirs}")
 
     def get_scale_mat(self) -> np.ndarray:
         """4x4 un-normalization matrix from {center, scale}."""

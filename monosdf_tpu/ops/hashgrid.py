@@ -118,36 +118,68 @@ def hash_encode_01(params: dict, cfg: HashGridConfig, x01: jnp.ndarray) -> jnp.n
 
     Output layout is level-major per point: [B, L*C] with level blocks of C,
     matching the reference's permute at hashgrid.py:44.
+
+    TPU-shaped: all levels are processed as one vectorized (L, B, D) batch
+    and the 8 corner lookups collapse into a SINGLE flat gather of
+    (8, L, B) indices from the table — one fused HBM gather kernel instead
+    of levels x corners separate takes (and one deterministic scatter-add in
+    the transpose/backward).
     """
     emb = params["embeddings"]
     B, D = x01.shape
     assert D == cfg.input_dim
     C = cfg.level_dim
+    L = cfg.num_levels
 
-    oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1, keepdims=True)  # (B,1)
-    in_bounds = 1.0 - oob.astype(x01.dtype)
+    levels = cfg.level_params()
+    off_arr = jnp.asarray([lv[0] for lv in levels], jnp.int32)  # (L,)
+    hms_arr = jnp.asarray([lv[1] for lv in levels], jnp.uint32)
+    res_arr = jnp.asarray([lv[2] for lv in levels], jnp.int32)
+    fscale_arr = jnp.asarray([lv[3] for lv in levels], x01.dtype)
+    dense_mask = jnp.asarray(
+        [lv[2] ** D <= lv[1] for lv in levels], bool
+    )  # (L,)
+    # dense strides (res^0, res^1, res^2); only meaningful where dense
+    res_u = res_arr.astype(jnp.uint32)
+    strides = jnp.stack(
+        [jnp.ones_like(res_u)] + [res_u ** d for d in range(1, D)], axis=-1
+    )  # (L, D)
+    primes = jnp.asarray(_PRIMES[:D], jnp.uint32)
 
-    outputs = []
-    for offset, hashmap_size, resolution, fscale in cfg.level_params():
-        dense = resolution**D <= hashmap_size
-        pos = x01 * jnp.asarray(fscale, x01.dtype)
-        pos_grid = jnp.clip(jnp.floor(pos), 0, resolution).astype(jnp.int32)
-        frac = pos - pos_grid.astype(x01.dtype)
-        w = _smoothstep(jnp.clip(frac, 0.0, 1.0))  # (B, D)
+    oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)  # (B,)
+    in_bounds = (1.0 - oob.astype(x01.dtype))[None, :, None]  # (1,B,1)
 
-        level_out = jnp.zeros((B, C), dtype=x01.dtype)
-        for corner in range(1 << D):
-            corner_bits = [(corner >> d) & 1 for d in range(D)]
-            corner_off = jnp.asarray(corner_bits, dtype=jnp.int32)
-            cw = jnp.prod(
-                jnp.where(jnp.asarray(corner_bits, dtype=bool), w, 1.0 - w), axis=-1
-            )  # (B,)
-            idx = _corner_index(pos_grid + corner_off, hashmap_size, resolution, dense)
-            vals = jnp.take(emb, idx + offset, axis=0)  # (B, C)
-            level_out = level_out + cw[:, None] * vals
-        outputs.append(level_out * in_bounds)
+    pos = x01[None, :, :] * fscale_arr[:, None, None]  # (L,B,D)
+    pos_grid = jnp.clip(
+        jnp.floor(pos), 0, res_arr[:, None, None].astype(x01.dtype)
+    ).astype(jnp.int32)
+    frac = pos - pos_grid.astype(x01.dtype)
+    w = _smoothstep(jnp.clip(frac, 0.0, 1.0))  # (L,B,D)
 
-    return jnp.concatenate(outputs, axis=-1)
+    # corner indices for all 8 corners at once -> (8,L,B)
+    corner_bits = np.array(
+        [[(corner >> d) & 1 for d in range(D)] for corner in range(1 << D)],
+        dtype=np.int32,
+    )  # (8,D)
+    cg = (pos_grid[None] + jnp.asarray(corner_bits)[:, None, None, :]).astype(
+        jnp.uint32
+    )  # (8,L,B,D)
+    dense_idx = jnp.sum(cg * strides[None, :, None, :], axis=-1)  # (8,L,B)
+    hash_idx = cg[..., 0] * primes[0]
+    for d in range(1, D):
+        hash_idx = hash_idx ^ (cg[..., d] * primes[d])
+    idx = jnp.where(dense_mask[None, :, None], dense_idx, hash_idx)
+    idx = (idx % hms_arr[None, :, None]).astype(jnp.int32) + off_arr[None, :, None]
+
+    vals = jnp.take(emb, idx.reshape(-1), axis=0).reshape(8, L, B, C)
+
+    # corner weights: prod over D of (w if bit else 1-w) -> (8,L,B)
+    bits = jnp.asarray(corner_bits, bool)[:, None, None, :]  # (8,1,1,D)
+    cw = jnp.prod(jnp.where(bits, w[None], 1.0 - w[None]), axis=-1)
+    level_out = jnp.sum(cw[..., None] * vals, axis=0)  # (L,B,C)
+
+    out = level_out * in_bounds  # (L,B,C)
+    return jnp.moveaxis(out, 0, 1).reshape(B, L * C)
 
 
 def hash_encode(params: dict, cfg: HashGridConfig, x: jnp.ndarray, size: float = 1.0):
