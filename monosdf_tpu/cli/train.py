@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--n_devices", type=int, default=0, help="0 = all local devices")
     ap.add_argument("--multihost", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--profile_dir", default=None,
+                    help="write a jax.profiler trace of the first 50 steps")
     args = ap.parse_args()
 
     if args.multihost:
@@ -72,6 +74,11 @@ def main():
         scale=train_ds.scale,
         center=train_ds.center,
     )
+    if args.profile_dir:
+        with jax.profiler.trace(args.profile_dir):
+            trainer.train(
+                max_iters=min(50, args.max_iters or 50)
+            )
     trainer.train(max_iters=args.max_iters)
     if val_images:
         print("val:", trainer.validate())

@@ -131,7 +131,7 @@ def sdf_value(
     return _clamp_sdf(cfg, out[..., :1], x)
 
 
-def sdf_feat_grad(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray):
+def sdf_feat_grad(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray, dtype=None):
     """x (..., 3) -> (sdf (...,1), features (...,F), grad_x sdf (...,3)).
 
     The spatial gradient uses FORWARD mode (jax.linearize + 3 basis JVPs):
@@ -142,7 +142,7 @@ def sdf_feat_grad(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray):
     the idiomatic TPU formulation of the reference's
     torch.autograd.grad(create_graph=True) (network.py:111-129)."""
     def f(xx):
-        out = implicit_apply(params, cfg, xx)
+        out = implicit_apply(params, cfg, xx, dtype=dtype)
         sdf = _clamp_sdf(cfg, out[..., :1], xx)
         return jnp.concatenate([sdf, out[..., 1:]], axis=-1)
 
@@ -154,12 +154,14 @@ def sdf_feat_grad(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray):
     return out[..., :1], out[..., 1:], grads
 
 
-def sdf_gradient(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray) -> jnp.ndarray:
+def sdf_gradient(
+    params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray, dtype=None
+) -> jnp.ndarray:
     """x (..., 3) -> grad_x sdf (..., 3) by forward-mode (see sdf_feat_grad).
     NOTE: the reference's gradient_sdf does NOT apply the sphere clamp
     (network.py:98-109); match that."""
     def f(xx):
-        return implicit_apply(params, cfg, xx)[..., 0]
+        return implicit_apply(params, cfg, xx, dtype=dtype)[..., 0]
 
     _, jvp_fn = jax.linearize(f, x)
     basis = jnp.eye(3, dtype=x.dtype)
@@ -225,6 +227,7 @@ def rendering_apply(
     view_dirs: jnp.ndarray,
     feature_vectors: jnp.ndarray,
     image_code: jnp.ndarray | None = None,
+    dtype=None,
 ) -> dict:
     """Per-sample radiance (reference network.py:389-470).
 
@@ -249,10 +252,10 @@ def rendering_apply(
         # (reference network.py:427-454); HDR only.
         assert cfg.if_hdr
         for l in range(cfg.num_layers - 3):
-            h = jax.nn.relu(apply_linear(params[f"lin{l}"], h))
+            h = jax.nn.relu(apply_linear(params[f"lin{l}"], h, dtype=dtype))
         color_diff, h = h[:, :3], h[:, 3:]
         for l in range(cfg.num_layers - 3, cfg.num_layers - 1):
-            h = jax.nn.relu(apply_linear(params[f"lin{l}"], h))
+            h = jax.nn.relu(apply_linear(params[f"lin{l}"], h, dtype=dtype))
         color_spec = h
         return {
             "rgb": color_diff + color_spec,
@@ -261,7 +264,7 @@ def rendering_apply(
         }
 
     for l in range(cfg.num_layers - 1):
-        h = apply_linear(params[f"lin{l}"], h)
+        h = apply_linear(params[f"lin{l}"], h, dtype=dtype)
         if l < cfg.num_layers - 2:
             h = jax.nn.relu(h)
     h = jax.nn.relu(h) if cfg.if_hdr else jax.nn.sigmoid(h)

@@ -43,8 +43,12 @@ class MonoSDFConfig:
     beta_init: float = 0.1
     beta_min: float = 1e-4
     if_hdr: bool = False
-    # dtype for network compute; params stay f32 (bf16 compute is a TPU win)
+    # dtype for sampler-sweep network compute; params stay f32
     compute_dtype: str = "float32"
+    # bf16 matmuls (f32 accumulate) in the DIFFERENTIATED forward too —
+    # the main TPU throughput lever; gradients flow through bf16 MXU ops
+    # while weight-norm math, activations and the loss stay f32
+    mixed_precision: bool = False
 
 
 def init_monosdf(key, cfg: MonoSDFConfig) -> dict:
@@ -121,8 +125,13 @@ def render_rays(
     points_flat = points.reshape(-1, 3)
     dirs_flat = jnp.repeat(rays_d[:, None, :], S, axis=1).reshape(-1, 3)
 
+    main_dtype = (
+        jnp.dtype(cfg.compute_dtype)
+        if (cfg.mixed_precision and cfg.compute_dtype != "float32")
+        else None
+    )
     sdf, feature_vectors, gradients = sdf_feat_grad(
-        params["implicit"], cfg.implicit, points_flat
+        params["implicit"], cfg.implicit, points_flat, dtype=main_dtype
     )
 
     code_flat = None
@@ -134,6 +143,7 @@ def render_rays(
     render_out = rendering_apply(
         params["rendering"], cfg.rendering,
         points_flat, gradients, dirs_flat, feature_vectors, code_flat,
+        dtype=main_dtype,
     )
     rgb = render_out["rgb"].reshape(R, S, 3)
 
@@ -188,7 +198,9 @@ def render_rays(
             jax.random.uniform(k_eik_neigh, eik_points.shape, dtype=rays_o.dtype) - 0.5
         ) * 0.01
         all_eik = jnp.concatenate([eik_points, neighbours], axis=0)
-        grad_theta = sdf_gradient(params["implicit"], cfg.implicit, all_eik)
+        grad_theta = sdf_gradient(
+            params["implicit"], cfg.implicit, all_eik, dtype=main_dtype
+        )
         half = all_eik.shape[0] // 2
         output["grad_theta"] = grad_theta[:half]
         output["grad_theta_nei"] = grad_theta[half:]

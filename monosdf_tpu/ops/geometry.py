@@ -102,6 +102,16 @@ def rot_to_quat(R: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([w, x, y, z], axis=-1)
 
 
+def quat_to_rot_np(q: np.ndarray) -> np.ndarray:
+    """Single unit quaternion [w,x,y,z] -> (3,3), host numpy."""
+    return np.asarray(quat_to_rot(jnp.asarray(q)[None]))[0]
+
+
+def rot_to_quat_np(R: np.ndarray) -> np.ndarray:
+    """Single (3,3) rotation -> quaternion [w,x,y,z], host numpy."""
+    return np.asarray(rot_to_quat(jnp.asarray(R)[None]))[0]
+
+
 def get_camera_params(uv: jnp.ndarray, pose: jnp.ndarray, intrinsics: jnp.ndarray):
     """uv (B,N,2) + pose (B,4,4) [or quaternion (B,7)] + intrinsics (B,4,4)
     -> normalized world ray directions (B,N,3) and camera locations (B,3)

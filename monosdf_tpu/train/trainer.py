@@ -123,8 +123,17 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def sample_batch(self, num_rays: int):
+        """Pixel mode (fork default): global random rays across every frame.
+        Image mode (if_pixel=False, the upstream default): all rays of one
+        randomly-chosen frame per step (reference scene_dataset.py:374-436)."""
         tr = self.train_rays
-        idx = self.rng.integers(0, tr["rays_o"].shape[0], size=(num_rays,))
+        if self.exp.dataset.get("if_pixel", True):
+            idx = self.rng.integers(0, tr["rays_o"].shape[0], size=(num_rays,))
+        else:
+            HW = self.train_rays["img_res"][0] * self.train_rays["img_res"][1]
+            n_frames = tr["rays_o"].shape[0] // HW
+            f = int(self.rng.integers(0, n_frames))
+            idx = f * HW + self.rng.permutation(HW)[:num_rays]
         batch = {
             "rays": {
                 k: jnp.asarray(tr[k][idx])
@@ -156,6 +165,15 @@ class Trainer:
 
             if (it + 1) % log_every == 0 or it == it0:
                 metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                # failure detection: halt on divergence with a crash snapshot
+                # (the reference has no such guard; cheap win on TPU)
+                if not np.isfinite(metrics.get("loss", 0.0)):
+                    print(f"[!] non-finite loss at iter {it + 1}; saving crash "
+                          "checkpoint and stopping")
+                    self.save(-1)
+                    raise FloatingPointError(
+                        f"loss diverged at iter {it + 1}: {metrics}"
+                    )
                 dt = time.perf_counter() - t_last
                 rays_s = num_rays * (log_every if it != it0 else 1) / dt
                 t_last = time.perf_counter()
