@@ -56,7 +56,8 @@ def main():
             N_samples_extra=32, max_total_iters=5, intersection="cube",
         ),
         scene_bounding_sphere=1.1,
-        compute_dtype="bfloat16",  # sampler sweeps only; diff'd path stays f32
+        compute_dtype="bfloat16",
+        mixed_precision=True,  # bf16 matmuls (f32 accum) in the diff'd path too
     )
 
     params = init_monosdf(jax.random.PRNGKey(0), cfg)

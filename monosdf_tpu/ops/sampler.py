@@ -44,6 +44,12 @@ class SamplerConfig:
     # How the uniform init finds `far`: 'cube' (replica/scannet/tnt),
     # 'sphere' (dtu/bmvs w/ take_sphere_intersection), or 'none' (constant far).
     intersection: str = "cube"
+    # Sorted-merge implementation for the cached-SDF upsampling loop:
+    # 'sort' = lax.sort of the concatenation (bitonic, low HBM traffic);
+    # 'onehot' = rank computation + one-hot matmul (MXU, but materializes
+    # (R, N, K) one-hots). Measured on-chip per shape; 'sort' wins at the
+    # production (1024, 640) shapes.
+    merge_impl: str = "sort"
 
     @property
     def far_value(self) -> float:
@@ -96,6 +102,15 @@ def _searchsorted_right(sorted_arr: jnp.ndarray, values: jnp.ndarray) -> jnp.nda
     return jnp.sum(
         sorted_arr[:, None, :] <= values[:, :, None], axis=-1
     ).astype(jnp.int32)
+
+
+def _merge_sorted_sort(z_old, s_old, z_new, s_new):
+    """Sorted merge via one lax.sort with the SDF cache as payload
+    (the direct analog of the reference's torch.sort + gather,
+    ray_sampler.py:232-233 + :133-135)."""
+    z = jnp.concatenate([z_old, z_new], axis=-1)
+    s = jnp.concatenate([s_old, s_new], axis=-1)
+    return jax.lax.sort((z, s), num_keys=1)
 
 
 def _merge_sorted(z_old, s_old, z_new, s_new):
@@ -266,9 +281,12 @@ def error_bound_z_vals(
             # new_z comes out sorted per ray.
             new_z = _sample_pdf(z_vals, pdf, u)
             new_sdf = eval_sdf(new_z)
-            # Rank-merge cached SDF with the new samples (replaces the
+            # Merge cached SDF with the new samples (replaces the
             # reference's sort+gather, ray_sampler.py:133-135, 232-233).
-            z_vals, sdf = _merge_sorted(z_vals, sdf, new_z, new_sdf)
+            merge = (
+                _merge_sorted_sort if cfg.merge_impl == "sort" else _merge_sorted
+            )
+            z_vals, sdf = merge(z_vals, sdf, new_z, new_sdf)
         else:
             # Final draw from the rendering weights CDF
             # (reference ray_sampler.py:196-228).

@@ -151,3 +151,42 @@ class TestMetrics:
         assert 0.01 < m["chamfer"] < 0.04
         assert m["f_score"] > 0.9
         assert m["normal_consistency"] > 0.97
+
+
+class TestPyramid:
+    def test_pyramid_matches_dense_near_surface(self):
+        import jax.numpy as jnp
+        from monosdf_tpu.meshing.extract import sdf_grid_eval, sdf_grid_eval_pyramid
+        from monosdf_tpu.meshing.marching import marching_tetrahedra
+
+        def sdf(p):
+            return jnp.linalg.norm(p, axis=-1) - 0.5
+
+        xs = np.linspace(-0.8, 0.8, 65, dtype=np.float32)
+        dense = sdf_grid_eval(sdf, xs, xs, xs, chunk=4096)
+        pyr = sdf_grid_eval_pyramid(sdf, xs, xs, xs, chunk=4096)
+        assert pyr.shape == dense.shape and np.isfinite(pyr).all()
+        # identical where it matters: every point near the surface
+        near = np.abs(dense) < 0.1
+        np.testing.assert_allclose(pyr[near], dense[near], atol=1e-6)
+        # sign agrees everywhere (what marching cubes consumes)
+        assert (np.sign(pyr) == np.sign(dense)).mean() > 0.999
+        # and the extracted surfaces match
+        sp = np.array([xs[1] - xs[0]] * 3)
+        org = np.array([xs[0]] * 3)
+        v1, _ = marching_tetrahedra(dense, org, sp)
+        v2, _ = marching_tetrahedra(pyr, org, sp)
+        r1 = np.linalg.norm(v1, axis=-1).mean()
+        r2 = np.linalg.norm(v2, axis=-1).mean()
+        assert abs(r1 - r2) < 1e-4
+
+    def test_pyramid_fallback_on_bad_stride(self):
+        import jax.numpy as jnp
+        from monosdf_tpu.meshing.extract import sdf_grid_eval_pyramid
+
+        def sdf(p):
+            return jnp.linalg.norm(p, axis=-1) - 0.5
+
+        xs = np.linspace(-0.8, 0.8, 30, dtype=np.float32)  # 29 not divisible by 8
+        out = sdf_grid_eval_pyramid(sdf, xs, xs, xs, chunk=4096)
+        assert out.shape == (30, 30, 30) and np.isfinite(out).all()
