@@ -104,11 +104,12 @@ def implicit_apply(
     h = inp
     for l in range(cfg.num_layers - 1):
         if l in cfg.skip_in:
-            h = jnp.concatenate([h, inp], axis=-1) / math.sqrt(2.0)
-        h = apply_linear(params[f"lin{l}"], h, dtype=dtype)
-        if l < cfg.num_layers - 2:
+            h = jnp.concatenate([h, inp.astype(h.dtype)], axis=-1) / math.sqrt(2.0)
+        last = l == cfg.num_layers - 2
+        h = apply_linear(params[f"lin{l}"], h, dtype=dtype, keep_dtype=not last)
+        if not last:
             h = softplus_beta(h, 100.0)
-    return h
+    return h.astype(jnp.float32) if dtype is not None else h
 
 
 def _clamp_sdf(cfg: ImplicitNetConfig, sdf: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -129,6 +130,23 @@ def sdf_value(
     """x (..., 3) -> sdf (..., 1)."""
     out = implicit_apply(params, cfg, x, dtype=dtype)
     return _clamp_sdf(cfg, out[..., :1], x)
+
+
+def sdf_value_pallas(
+    params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray, dtype=None
+) -> jnp.ndarray:
+    """Fused-Pallas SDF evaluation (sampler's no-grad sweeps): PE on the
+    XLA side, the whole MLP in one VMEM-resident kernel, sphere clamp after.
+    MLP-mode only (the hash-grid gather stays an XLA op)."""
+    from ..ops.pallas_mlp import effective_linear_weights, fused_sdf_mlp_nograd
+
+    assert not cfg.use_grid, "pallas fused MLP is for MLP-mode sweeps"
+    inp = positional_encoding(x, cfg.multires)
+    ws, bs = effective_linear_weights(params, cfg.num_layers)
+    flat = inp.reshape(-1, inp.shape[-1])
+    out = fused_sdf_mlp_nograd(ws, bs, flat, cfg.skip_in, dtype=dtype)
+    sdf = out[:, :1].reshape(*x.shape[:-1], 1)
+    return _clamp_sdf(cfg, sdf, x)
 
 
 def sdf_feat_grad(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray, dtype=None):
@@ -264,8 +282,9 @@ def rendering_apply(
         }
 
     for l in range(cfg.num_layers - 1):
-        h = apply_linear(params[f"lin{l}"], h, dtype=dtype)
-        if l < cfg.num_layers - 2:
+        last = l == cfg.num_layers - 2
+        h = apply_linear(params[f"lin{l}"], h, dtype=dtype, keep_dtype=not last)
+        if not last:
             h = jax.nn.relu(h)
     h = jax.nn.relu(h) if cfg.if_hdr else jax.nn.sigmoid(h)
-    return {"rgb": h}
+    return {"rgb": h.astype(jnp.float32) if dtype is not None else h}

@@ -49,6 +49,9 @@ class MonoSDFConfig:
     # the main TPU throughput lever; gradients flow through bf16 MXU ops
     # while weight-norm math, activations and the loss stay f32
     mixed_precision: bool = False
+    # 'jnp' or 'pallas': backend for the sampler's no-grad SDF sweeps.
+    # 'pallas' = fused VMEM-resident MLP kernel (MLP-mode only).
+    sampler_backend: str = "jnp"
 
 
 def init_monosdf(key, cfg: MonoSDFConfig) -> dict:
@@ -113,8 +116,18 @@ def render_rays(
         jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype != "float32" else None
     )
 
-    def sampler_sdf(pts):
-        return sdf_value(params["implicit"], cfg.implicit, pts, dtype=sampler_dtype)[..., 0]
+    if cfg.sampler_backend == "pallas" and not cfg.implicit.use_grid:
+        from .fields import sdf_value_pallas
+
+        def sampler_sdf(pts):
+            return sdf_value_pallas(
+                params["implicit"], cfg.implicit, pts, dtype=sampler_dtype
+            )[..., 0]
+    else:
+        def sampler_sdf(pts):
+            return sdf_value(
+                params["implicit"], cfg.implicit, pts, dtype=sampler_dtype
+            )[..., 0]
 
     z_vals, z_eik = error_bound_z_vals(
         sampler_sdf, rays_o, rays_d, beta0, cfg.sampler, k_sampler, training

@@ -44,10 +44,15 @@ def _wrap_weight_norm(w: jnp.ndarray, b: jnp.ndarray, weight_norm: bool):
     return {"v": w, "g": g, "b": b}
 
 
-def apply_linear(params: dict, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
+def apply_linear(
+    params: dict, x: jnp.ndarray, dtype=None, keep_dtype: bool = False
+) -> jnp.ndarray:
     """Weight-norm linear. With ``dtype`` (e.g. bf16) the matmul inputs are
     cast down but accumulation stays float32 (MXU-native mixed precision);
-    weight-norm math and bias add stay f32."""
+    weight-norm math and bias add stay f32. ``keep_dtype`` additionally
+    casts the OUTPUT to ``dtype`` so inter-layer activations (and the HLO
+    temps the double-JVP graph keeps for backward) live in bf16 — on a
+    bandwidth-bound chip this halves the activation traffic."""
     if "v" in params:
         v = params["v"]
         norm = jnp.linalg.norm(v, axis=0, keepdims=True)
@@ -62,7 +67,10 @@ def apply_linear(params: dict, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
         )
     else:
         y = x @ w
-    return y + params["b"]
+    y = y + params["b"]
+    if dtype is not None and keep_dtype:
+        y = y.astype(dtype)
+    return y
 
 
 def geometric_linear_init(

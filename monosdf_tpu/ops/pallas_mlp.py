@@ -1,0 +1,201 @@
+"""Pallas TPU kernel: fused SDF-MLP forward.
+
+The error-bounded sampler evaluates the SDF network on ~650k points per
+step with NO gradient flow (reference ray_sampler.py:130-131 runs under
+torch.no_grad). XLA executes that as one HBM round-trip per layer
+(~650k x 256 x 4B written+read between every matmul). This kernel keeps the
+ENTIRE MLP in VMEM: weights (~2 MB for 8x256 layers) are loaded once and
+stay resident across grid steps; per-block activations never leave VMEM, so
+HBM traffic drops to reading the input points and writing one SDF scalar
+per point.
+
+Scope: inference-only (plain pallas_call, no custom VJP) — exactly the
+sampler's no-grad sweep. The differentiated main forward keeps the jnp path
+(autodiff + its reverse-over-forward eikonal semantics).
+
+Layout notes (see /opt/skills/guides/pallas_guide.md):
+* all feature dims padded to 128-lane multiples; padded weight rows/cols are
+  zero so padding is semantically inert;
+* matmuls via jnp.dot with preferred_element_type=f32 (MXU), activations
+  softplus(beta=100) on the VPU;
+* skip layers concatenate the (padded) embedded input / sqrt(2) exactly like
+  the jnp path (reference network.py:88-89).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_LANE = 128
+
+
+def _pad_to(x: np.ndarray | jnp.ndarray, rows: int, cols: int):
+    r, c = x.shape
+    return jnp.pad(x, ((0, rows - r), (0, cols - c)))
+
+
+def _softplus100(x):
+    # softplus with beta=100 (reference network.py:77): overflow-safe
+    return jnp.where(x > 0.2, x, jnp.log1p(jnp.exp(100.0 * jnp.minimum(x, 0.2))) / 100.0)
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def fused_sdf_mlp(
+    weights: list,
+    biases: list,
+    x_embedded: jnp.ndarray,
+    skip_in: tuple,
+    block: int = 512,
+    interpret: bool | None = None,
+    dtype=None,
+) -> jnp.ndarray:
+    """Run the SDF MLP on embedded inputs.
+
+    weights[l]: (d_l, d_{l+1}) EFFECTIVE weights (weight-norm already
+    applied); biases[l]: (d_{l+1},). x_embedded: (N, d_0) the PE(+grid)
+    features. skip_in: layer indices where the input is re-concatenated
+    (reference network.py:88-89). Returns (N, d_last) — caller slices
+    sdf/features.
+
+    All activations up to the last layer get softplus(beta=100); the last
+    layer is linear (reference network.py:79-96).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+
+    n_layers = len(weights)
+    d0 = x_embedded.shape[-1]
+    d0p = _round_up(d0, _LANE)
+    dims = [d0] + [w.shape[1] for w in weights]
+
+    # widths as seen by each matmul input (with skip concat)
+    in_dims = []
+    d = d0
+    for l in range(n_layers):
+        if l in skip_in:
+            d = dims[l] + d0  # concat with embedded input
+        in_dims.append(d)
+        d = dims[l + 1]
+    max_w = max(_round_up(max(in_dims + dims), _LANE), d0p)
+
+    wp = [
+        _pad_to(jnp.asarray(w, jnp.float32), _round_up(in_dims[l], _LANE), max_w)
+        for l, w in enumerate(weights)
+    ]
+    bp = [
+        jnp.pad(jnp.asarray(b, jnp.float32), (0, max_w - b.shape[0]))[None]
+        for b in biases
+    ]
+
+    N = x_embedded.shape[0]
+    n_pad = _round_up(max(N, 1), block)
+    x_p = jnp.pad(x_embedded.astype(jnp.float32), ((0, n_pad - N), (0, d0p - d0)))
+
+    sqrt2 = math.sqrt(2.0)
+    skip_set = tuple(skip_in)
+
+    def kernel(x_ref, *refs):
+        w_refs = refs[:n_layers]
+        b_refs = refs[n_layers : 2 * n_layers]
+        out_ref = refs[2 * n_layers]
+        x0 = x_ref[:]  # (block, d0p)
+        h = x0
+        width = d0
+        for l in range(n_layers):
+            if l in skip_set:
+                # concat [h, x0]/sqrt(2): place x0 after the live h columns
+                cat = jnp.zeros((block, max_w), jnp.float32)
+                cat = cat.at[:, :width].set(h[:, :width])
+                cat = cat.at[:, width : width + d0].set(x0[:, :d0])
+                h = cat / sqrt2
+                width = width + d0
+            wl = w_refs[l][:]
+            hl = h[:, : wl.shape[0]]
+            if dtype is not None:
+                hl, wl = hl.astype(dtype), wl.astype(dtype)
+            acc = jnp.dot(hl, wl, preferred_element_type=jnp.float32)
+            acc = acc + b_refs[l][:]
+            width = dims[l + 1]
+            if l < n_layers - 1:
+                acc = _softplus100(acc)
+            # zero the padded lanes so later skips/matmuls stay exact
+            lane_idx = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+            h = jnp.where(lane_idx < width, acc, 0.0)
+        out_ref[:] = h
+
+    grid = (n_pad // block,)
+    in_specs = [
+        pl.BlockSpec((block, d0p), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ]
+    for w in wp:
+        in_specs.append(
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+    for b in bp:
+        in_specs.append(
+            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (block, max_w), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, max_w), jnp.float32),
+        interpret=interpret,
+    )(x_p, *wp, *bp)
+    return out[:N, : dims[-1]]
+
+
+def fused_sdf_mlp_nograd(
+    weights: list,
+    biases: list,
+    x_embedded: jnp.ndarray,
+    skip_in: tuple,
+    block: int = 512,
+    dtype=None,
+) -> jnp.ndarray:
+    """AD-opaque fused MLP: pallas_call has no JVP rule, and the sampler
+    caller stop-gradients the result anyway — declare a zero tangent so the
+    kernel can live inside a differentiated program."""
+
+    @jax.custom_jvp
+    def f(ws, bs, x):
+        return fused_sdf_mlp(ws, bs, x, skip_in, block=block, dtype=dtype)
+
+    @f.defjvp
+    def f_jvp(primals, tangents):
+        out = f(*primals)
+        return out, jnp.zeros_like(out)
+
+    return f(weights, biases, x_embedded)
+
+
+def effective_linear_weights(params: dict, num_layers: int):
+    """Resolve weight-norm (g, v) parameterization into effective (W, b)
+    lists for the fused kernel (matches nn.apply_linear)."""
+    ws, bs = [], []
+    for l in range(num_layers - 1):
+        p = params[f"lin{l}"]
+        if "v" in p:
+            v = p["v"]
+            norm = jnp.linalg.norm(v, axis=0, keepdims=True)
+            w = v * (p["g"][None, :] / (norm + 1e-16))
+        else:
+            w = p["w"]
+        ws.append(w)
+        bs.append(p["b"])
+    return ws, bs
