@@ -114,10 +114,9 @@ def fused_sdf_mlp(
         width = d0
         for l in range(n_layers):
             if l in skip_set:
-                # concat [h, x0]/sqrt(2): place x0 after the live h columns
-                cat = jnp.zeros((block, max_w), jnp.float32)
-                cat = cat.at[:, :width].set(h[:, :width])
-                cat = cat.at[:, width : width + d0].set(x0[:, :d0])
+                # concat [h, x0]/sqrt(2); re-pad to max_w lanes with zeros
+                cat = jnp.concatenate([h[:, :width], x0[:, :d0]], axis=-1)
+                cat = jnp.pad(cat, ((0, 0), (0, max_w - width - d0)))
                 h = cat / sqrt2
                 width = width + d0
             wl = w_refs[l][:]
