@@ -82,6 +82,19 @@ def _adjust_intrinsics(intrinsics: np.ndarray, crop_type: str) -> np.ndarray:
 def _load_rgb(path: str, if_hdr: bool) -> np.ndarray:
     import cv2
 
+    if str(path).lower().endswith(".exr"):
+        # cv2 builds often lack the OpenEXR codec; use the native reader
+        try:
+            img = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+        except cv2.error:
+            img = None
+        if img is None:
+            from .exr import read_exr
+
+            return read_exr(str(path))[..., :3].astype(np.float32).reshape(-1, 3)
+        img = cv2.cvtColor(img[:, :, :3], cv2.COLOR_BGR2RGB)
+        return img.astype(np.float32).reshape(-1, 3)
+
     img = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
     assert img is not None, f"failed to read {path}"
     img = cv2.cvtColor(img[:, :, :3], cv2.COLOR_BGR2RGB)

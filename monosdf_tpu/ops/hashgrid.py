@@ -40,6 +40,9 @@ class HashGridConfig:
     base_resolution: int = 16
     log2_hashmap_size: int = 19
     desired_resolution: int | None = 2048
+    # gather the table in this dtype (bf16 halves the HBM traffic of the
+    # random gather; weighted corner combine stays f32)
+    table_dtype: str = "float32"
 
     @property
     def scale(self) -> float:
@@ -126,6 +129,8 @@ def hash_encode_01(params: dict, cfg: HashGridConfig, x01: jnp.ndarray) -> jnp.n
     the transpose/backward).
     """
     emb = params["embeddings"]
+    if cfg.table_dtype != "float32":
+        emb = emb.astype(jnp.dtype(cfg.table_dtype))
     B, D = x01.shape
     assert D == cfg.input_dim
     C = cfg.level_dim
