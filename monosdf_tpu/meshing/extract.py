@@ -136,7 +136,9 @@ def extract_mesh(
     Returns (verts (V,3), faces (F,3)).
     """
     from .marching import marching_tetrahedra
+    from ..native import marching_tetrahedra_native, native_available
 
+    use_native = native_available()
     lo, hi = float(grid_boundary[0]), float(grid_boundary[1])
     n_crops = max(1, -(-resolution // crop_n))
     # global grid coordinates (resolution+1 points so crops share planes)
@@ -164,7 +166,14 @@ def extract_mesh(
                     [xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0]], np.float32
                 )
                 origin = np.array([xs[0], ys[0], zs[0]], np.float32)
-                verts, faces = marching_tetrahedra(sdf, origin, spacing, level)
+                # Native path streams cubes and welds vertices on the fly
+                # (O(surface) memory); NumPy fallback emits per-triangle verts.
+                if use_native:
+                    verts, faces = marching_tetrahedra_native(
+                        sdf, origin, spacing, level
+                    )
+                else:
+                    verts, faces = marching_tetrahedra(sdf, origin, spacing, level)
                 if verts.shape[0] == 0:
                     continue
                 all_verts.append(verts)

@@ -152,15 +152,10 @@ def weld_vertices(verts: np.ndarray, faces: np.ndarray, decimals: int = 6):
     """Merge duplicate vertices (marching tetrahedra emits per-triangle
     vertices)."""
     key = np.round(verts, decimals)
-    uniq, inverse = np.unique(key, axis=0, return_inverse=True)
-    # representative positions: first occurrence
-    first = np.full(uniq.shape[0], -1, np.int64)
-    seen = np.zeros(uniq.shape[0], bool)
-    for i, inv in enumerate(inverse):
-        if not seen[inv]:
-            seen[inv] = True
-            first[inv] = i
-    new_verts = verts[first]
+    _, first, inverse = np.unique(
+        key, axis=0, return_index=True, return_inverse=True
+    )
+    new_verts = verts[first]  # representative = first occurrence
     new_faces = inverse[faces]
     # drop degenerate faces
     good = (

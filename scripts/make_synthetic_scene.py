@@ -1,0 +1,117 @@
+"""Write a synthetic Lambertian-sphere scene to disk in the reference data
+contract (SURVEY.md §2.6: Image/*.png + depth/*.npy + normal/*.npy +
+cameras.npz + scale_mat.npy) for end-to-end CLI drives.
+
+Usage: python scripts/make_synthetic_scene.py <out_root> [--n 6] [--res 48]
+The scene dir is <out_root>/sphere_scene; train with white_bkgd = True.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_root")
+    ap.add_argument("--n", type=int, default=6)
+    ap.add_argument("--res", type=int, default=48)
+    ap.add_argument("--radius", type=float, default=0.5)
+    ap.add_argument("--cam_dist", type=float, default=1.5)
+    args = ap.parse_args()
+
+    from monosdf_tpu.data.synthetic import _look_at
+
+    H = W = args.res
+    f = 0.5 * W / np.tan(0.3)
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], dtype=np.float64)
+    light = np.array([0.3, 0.5, -0.8])
+    light /= np.linalg.norm(light)
+
+    scene = os.path.join(args.out_root, "sphere_scene")
+    for sub in ("Image", "depth", "normal"):
+        os.makedirs(os.path.join(scene, sub), exist_ok=True)
+
+    cam = {}
+    for i in range(args.n):
+        ang = 2 * np.pi * i / args.n
+        eye = np.array(
+            [args.cam_dist * np.sin(ang), 0.3, -args.cam_dist * np.cos(ang)]
+        )
+        pose = _look_at(eye)
+
+        u, v = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+        dirs_cam = np.stack(
+            [(u - K[0, 2]) / K[0, 0], (v - K[1, 2]) / K[1, 1], np.ones_like(u)], -1
+        )
+        dirs_world = dirs_cam @ pose[:3, :3].T
+        dirs_world /= np.linalg.norm(dirs_world, axis=-1, keepdims=True)
+        o = np.broadcast_to(pose[:3, 3], dirs_world.shape)
+
+        b = np.einsum("hwc,hwc->hw", dirs_world, o)
+        c = np.sum(o**2, -1) - args.radius**2
+        disc = b**2 - c
+        hit = disc > 0
+        t = -b - np.sqrt(np.maximum(disc, 0.0))
+        hit &= t > 0
+        t = np.where(hit, t, 0.0)
+
+        pts = o + t[..., None] * dirs_world
+        normal_world = pts / np.maximum(
+            np.linalg.norm(pts, axis=-1, keepdims=True), 1e-9
+        )
+        lambert = np.clip(np.einsum("hwc,c->hw", normal_world, -light), 0.05, 1.0)
+        rgb = np.stack([lambert * 0.9, lambert * 0.6, lambert * 0.4], -1)
+        rgb = np.where(hit[..., None], rgb, 1.0)
+
+        z_norm = dirs_cam[..., 2] / np.linalg.norm(dirs_cam, axis=-1)
+        depth_cue = np.where(hit, t * z_norm / (2 * args.cam_dist), 0.5)
+        normal_cam = np.einsum("ij,hwj->hwi", pose[:3, :3].T, normal_world)
+        normal_cam = np.where(hit[..., None], normal_cam, np.array([0.0, 0.0, -1.0]))
+
+        name = f"{0:03d}_{i:04d}"
+        try:
+            import cv2
+
+            cv2.imwrite(
+                os.path.join(scene, "Image", f"{name}.png"),
+                (rgb[..., ::-1] * 255).astype(np.uint8),
+            )
+        except ImportError:
+            from PIL import Image
+
+            Image.fromarray((rgb * 255).astype(np.uint8)).save(
+                os.path.join(scene, "Image", f"{name}.png")
+            )
+        np.save(
+            os.path.join(scene, "depth", f"{name}.npy"),
+            depth_cue.astype(np.float32),
+        )
+        np.save(
+            os.path.join(scene, "normal", f"{name}.npy"),
+            ((normal_cam + 1) / 2).transpose(2, 0, 1).astype(np.float32),
+        )
+
+        w2c = np.linalg.inv(pose)
+        P = np.eye(4)
+        P[:3, :4] = K[:3, :3] @ w2c[:3, :4]
+        cam[f"world_mat_{i}"] = P.astype(np.float32)
+        cam[f"scale_mat_{i}"] = np.eye(4, dtype=np.float32)
+
+    np.savez(os.path.join(scene, "cameras.npz"), **cam)
+    np.save(
+        os.path.join(scene, "scale_mat.npy"),
+        np.array({"center": np.zeros(3), "scale": 1.0}, dtype=object),
+        allow_pickle=True,
+    )
+    print(f"wrote {args.n} frames at {H}x{W} -> {scene}")
+
+
+if __name__ == "__main__":
+    main()
