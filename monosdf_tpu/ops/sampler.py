@@ -137,6 +137,24 @@ def _merge_sorted(z_old, s_old, z_new, s_new):
     return z, s
 
 
+def _onehot_gather2(a: jnp.ndarray, b: jnp.ndarray, idx: jnp.ndarray):
+    """Batched gather of two row-aligned arrays via a one-hot matmul.
+
+    a, b (R,N); idx (R,M) int32 in [0,N) -> (a[r, idx], b[r, idx]).
+    TPU's native batched gather lowering is HBM-latency bound (~10x slower
+    than this at the sampler's shapes); a 0/1 one-hot contraction on the MXU
+    with HIGHEST precision is BITWISE identical to the gather (every product
+    is value*1.0 or value*0.0, summation adds exact zeros)."""
+    N = a.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N), 2)
+    onehot = (idx[:, :, None] == iota).astype(a.dtype)  # (R,M,N)
+    stacked = jnp.stack([a, b], axis=-1)  # (R,N,2)
+    g = jnp.einsum(
+        "rmn,rnc->rmc", onehot, stacked, precision=jax.lax.Precision.HIGHEST
+    )
+    return g[..., 0], g[..., 1]
+
+
 def _sample_pdf(bins: jnp.ndarray, pdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """Inverse-CDF sampling (reference ray_sampler.py:191-228).
 
@@ -149,10 +167,8 @@ def _sample_pdf(bins: jnp.ndarray, pdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndar
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, cdf.shape[-1] - 1)
 
-    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_g0 = jnp.take_along_axis(bins, below, axis=-1)
-    bins_g1 = jnp.take_along_axis(bins, above, axis=-1)
+    cdf_g0, bins_g0 = _onehot_gather2(cdf, bins, below)
+    cdf_g1, bins_g1 = _onehot_gather2(cdf, bins, above)
 
     denom = cdf_g1 - cdf_g0
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
@@ -317,6 +333,6 @@ def error_bound_z_vals(
     # One random existing sample per ray for the eikonal near-surface points
     # (reference ray_sampler.py:253-255).
     eik_idx = jax.random.randint(k_eik, (R, 1), 0, z_final.shape[-1])
-    z_eik = jnp.take_along_axis(z_final, eik_idx, axis=-1)
+    z_eik, _ = _onehot_gather2(z_final, z_final, eik_idx)
 
     return jax.lax.stop_gradient(z_final), jax.lax.stop_gradient(z_eik)
