@@ -60,17 +60,20 @@ def apply_linear(
     else:
         w = params["w"]
     if dtype is not None:
+        # keep_dtype: the dot EMITS ``dtype`` (bf16) directly. The MXU still
+        # accumulates in f32 internally; only the stored result is rounded.
+        # Crucially this keeps the COTANGENT path in bf16 too: the transpose
+        # of a bf16-out dot is a bf16xbf16 dot, whereas an f32-out dot + cast
+        # re-promotes the cotangent to f32 at exactly the transposed matmul
+        # (measured: ~46% of backward dot-FLOPs were running at f32 MXU rate).
+        out_dtype = dtype if keep_dtype else jnp.float32
         y = jax.lax.dot_general(
             x.astype(dtype), w.astype(dtype),
             (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=out_dtype,
         )
-    else:
-        y = x @ w
-    y = y + params["b"]
-    if dtype is not None and keep_dtype:
-        y = y.astype(dtype)
-    return y
+        return y + params["b"].astype(out_dtype)
+    return x @ w + params["b"]
 
 
 def geometric_linear_init(

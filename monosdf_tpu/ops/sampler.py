@@ -50,6 +50,13 @@ class SamplerConfig:
     # (R, N, K) one-hots). Measured on-chip per shape; 'sort' wins at the
     # production (1024, 640) shapes.
     merge_impl: str = "sort"
+    # NeRF++-style inverse-sphere background (reference ray_sampler.py:88,
+    # 105-108, 236-239, 257-260). When set, the extra-sample `far` is the
+    # scene sphere's EXIT intersection, and `inverse_sphere_bg_z_vals` below
+    # supplies the background samples. No shipped reference conf enables
+    # this (it is carried, unused, from VolSDF); kept for capability parity.
+    inverse_sphere_bg: bool = False
+    N_samples_inverse_sphere: int = 0
 
     @property
     def far_value(self) -> float:
@@ -317,7 +324,14 @@ def error_bound_z_vals(
 
     # --- extra samples + near/far (reference ray_sampler.py:236-251) --------
     near = jnp.full((R, 1), cfg.near, dtype=dtype)
-    far = jnp.full((R, 1), cfg.far_value, dtype=dtype)
+    if cfg.inverse_sphere_bg:
+        # foreground ends where the ray EXITS the scene sphere
+        # (reference ray_sampler.py:238-239).
+        far = get_sphere_intersections(
+            rays_o, rays_d, r=cfg.scene_bounding_sphere
+        )[:, 1:].astype(dtype)
+    else:
+        far = jnp.full((R, 1), cfg.far_value, dtype=dtype)
     if cfg.N_samples_extra > 0:
         n_buf = z_vals.shape[1]
         if training:
@@ -336,3 +350,27 @@ def error_bound_z_vals(
     z_eik, _ = _onehot_gather2(z_final, z_final, eik_idx)
 
     return jax.lax.stop_gradient(z_final), jax.lax.stop_gradient(z_eik)
+
+
+def inverse_sphere_bg_z_vals(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    cfg: SamplerConfig,
+    key: jax.Array | None,
+    training: bool,
+):
+    """NeRF++ background samples in inverted-sphere space (reference
+    ray_sampler.py:106-108, 257-260): uniform on [0, 1] (the 1/r parameter of
+    the outer volume), scaled by 1/scene_bounding_sphere. Returns (R, N_bg).
+    """
+    R = rays_o.shape[0]
+    dtype = rays_o.dtype
+    t = jnp.linspace(0.0, 1.0, cfg.N_samples_inverse_sphere, dtype=dtype)
+    z = jnp.tile(t[None], (R, 1))
+    if training:
+        mids = 0.5 * (z[..., 1:] + z[..., :-1])
+        upper = jnp.concatenate([mids, z[..., -1:]], axis=-1)
+        lower = jnp.concatenate([z[..., :1], mids], axis=-1)
+        u = jax.random.uniform(key, z.shape, dtype=dtype)
+        z = lower + (upper - lower) * u
+    return jax.lax.stop_gradient(z * (1.0 / cfg.scene_bounding_sphere))

@@ -148,3 +148,40 @@ class TestErrorBound:
         z2, e2 = f(o, d, jax.random.PRNGKey(1))
         assert z1.shape == z2.shape
         assert not np.allclose(np.asarray(z1), np.asarray(z2))  # rng used
+
+
+class TestInverseSphereBg:
+    """NeRF++-style background support (reference ray_sampler.py:105-108,
+    236-239, 257-260; carried unused from VolSDF — no shipped conf enables it)."""
+
+    def test_bg_z_vals_range_and_scale(self):
+        from monosdf_tpu.ops.sampler import inverse_sphere_bg_z_vals
+
+        cfg = SamplerConfig(scene_bounding_sphere=2.0, N_samples_inverse_sphere=12,
+                            inverse_sphere_bg=True)
+        o = jnp.zeros((4, 3))
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (4, 1))
+        z = inverse_sphere_bg_z_vals(o, d, cfg, None, training=False)
+        assert z.shape == (4, 12)
+        zn = np.asarray(z)
+        # linspace(0,1) scaled by 1/R
+        np.testing.assert_allclose(zn[0], np.linspace(0, 1, 12) / 2.0, rtol=1e-6)
+        # training jitter stays in range and is random
+        zt = inverse_sphere_bg_z_vals(o, d, cfg, jax.random.PRNGKey(0), training=True)
+        assert (np.asarray(zt) >= 0).all() and (np.asarray(zt) <= 0.5 + 1e-6).all()
+
+    def test_far_becomes_sphere_exit(self):
+        """With inverse_sphere_bg, the extra-sample far is the sphere-exit
+        distance, so no final z exceeds it."""
+        cfg = SamplerConfig(
+            scene_bounding_sphere=1.1, N_samples=8, N_samples_eval=16,
+            N_samples_extra=4, max_total_iters=2, intersection="sphere",
+            inverse_sphere_bg=True,
+        )
+        o = jnp.tile(jnp.array([[0.0, 0.0, -2.0]]), (4, 1))
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (4, 1))
+        z, _ = error_bound_z_vals(
+            sphere_sdf, o, d, jnp.asarray(0.01), cfg, jax.random.PRNGKey(0), True
+        )
+        exit_dist = 2.0 + 1.1  # |o| + R along the center ray
+        assert float(np.asarray(z).max()) <= exit_dist + 1e-4
