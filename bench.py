@@ -58,6 +58,7 @@ def main():
         scene_bounding_sphere=1.1,
         compute_dtype="bfloat16",
         mixed_precision=True,  # bf16 matmuls (f32 accum) in the diff'd path too
+        diff_backend="pallas",  # hand-written VMEM-resident backward (ops/pallas_sdf_grad.py)
     )
 
     params = init_monosdf(jax.random.PRNGKey(0), cfg)

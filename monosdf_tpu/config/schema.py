@@ -118,6 +118,9 @@ def build_configs(conf: dict) -> ExperimentConfig:
     )
 
     den = model.get("density", {})
+    # framework extension (no reference analog): TPU execution knobs.
+    # tpu { mixed_precision, compute_dtype, sampler_backend, diff_backend }
+    tpu = conf.get("tpu", {})
     model_cfg = MonoSDFConfig(
         implicit=implicit,
         rendering=rendering,
@@ -128,6 +131,10 @@ def build_configs(conf: dict) -> ExperimentConfig:
         beta_init=float(_get(den.get("params_init", {}), "beta", 0.1)),
         beta_min=float(_get(den, "beta_min", 1e-4)),
         if_hdr=if_hdr,
+        compute_dtype=str(_get(tpu, "compute_dtype", "float32")),
+        mixed_precision=bool(_get(tpu, "mixed_precision", False)),
+        sampler_backend=str(_get(tpu, "sampler_backend", "jnp")),
+        diff_backend=str(_get(tpu, "diff_backend", "jnp")),
     )
 
     max_total_iters = int(_get(train, "max_total_iters", 150_000))

@@ -172,6 +172,75 @@ def sdf_feat_grad(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray, dtype=No
     return out[..., :1], out[..., 1:], grads
 
 
+def _pe_with_basis_tangents(x: jnp.ndarray, multires: int):
+    """PE(x) plus the three basis-direction tangents of the embedding,
+    stacked (3N, d0) in [k0; k1; k2] row order."""
+    f = lambda xx: positional_encoding(xx, multires)
+    inp = f(x)
+    basis = jnp.eye(3, dtype=x.dtype)
+    tangents = [
+        jax.jvp(f, (x,), (jnp.broadcast_to(b, x.shape),))[1] for b in basis
+    ]
+    return inp, jnp.concatenate(tangents, axis=0)
+
+
+def sdf_feat_grad_pallas(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray,
+                         dtype=None, block: int = 128):
+    """sdf_feat_grad with the Pallas hand-written backward
+    (ops/pallas_sdf_grad.py): forward is one stacked primal+tangent XLA pass;
+    the VJP recomputes and reverses entirely in VMEM. MLP-mode only.
+
+    Semantics match sdf_feat_grad (incl. the bounding-sphere clamp on both
+    the value and its spatial gradient); parameter gradients only — sample
+    points are stop-gradient'ed data in every reference loss."""
+    from ..ops.pallas_mlp import effective_linear_weights
+    from ..ops.pallas_sdf_grad import sdf_mlp_with_grad
+
+    assert not cfg.use_grid, "pallas diff path is for MLP mode"
+    prefix = x.shape[:-1]
+    xf = x.reshape(-1, 3)
+    inp, t0 = _pe_with_basis_tangents(xf, cfg.multires)
+    ws, bs = effective_linear_weights(params, cfg.num_layers)
+    dtype_name = jnp.dtype(dtype).name if dtype is not None else ""
+    out, grad = sdf_mlp_with_grad(
+        tuple(ws), tuple(bs), inp, t0, tuple(cfg.skip_in), dtype_name, block
+    )
+    sdf_raw, feat = out[:, :1], out[:, 1:]
+    if cfg.sdf_bounding_sphere > 0.0:
+        norm = jnp.linalg.norm(xf, axis=-1, keepdims=True)
+        sphere_sdf = cfg.sphere_scale * (cfg.sdf_bounding_sphere - norm)
+        take_mlp = sdf_raw <= sphere_sdf
+        sdf = jnp.where(take_mlp, sdf_raw, sphere_sdf)
+        grad_sphere = -cfg.sphere_scale * xf / jnp.maximum(norm, 1e-12)
+        grad = jnp.where(take_mlp, grad, grad_sphere)
+    else:
+        sdf = sdf_raw
+    return (
+        sdf.reshape(*prefix, 1),
+        feat.reshape(*prefix, -1),
+        grad.reshape(*prefix, 3),
+    )
+
+
+def sdf_gradient_pallas(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray,
+                        dtype=None, block: int = 128) -> jnp.ndarray:
+    """sdf_gradient (UNclamped, reference network.py:98-109) via the fused
+    Pallas-backward path. MLP-mode only."""
+    from ..ops.pallas_mlp import effective_linear_weights
+    from ..ops.pallas_sdf_grad import sdf_mlp_with_grad
+
+    assert not cfg.use_grid, "pallas diff path is for MLP mode"
+    prefix = x.shape[:-1]
+    xf = x.reshape(-1, 3)
+    inp, t0 = _pe_with_basis_tangents(xf, cfg.multires)
+    ws, bs = effective_linear_weights(params, cfg.num_layers)
+    dtype_name = jnp.dtype(dtype).name if dtype is not None else ""
+    _, grad = sdf_mlp_with_grad(
+        tuple(ws), tuple(bs), inp, t0, tuple(cfg.skip_in), dtype_name, block
+    )
+    return grad.reshape(*prefix, 3)
+
+
 def sdf_gradient(
     params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray, dtype=None
 ) -> jnp.ndarray:

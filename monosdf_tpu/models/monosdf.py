@@ -52,6 +52,11 @@ class MonoSDFConfig:
     # 'jnp' or 'pallas': backend for the sampler's no-grad SDF sweeps.
     # 'pallas' = fused VMEM-resident MLP kernel (MLP-mode only).
     sampler_backend: str = "jnp"
+    # 'jnp' or 'pallas': backend for the DIFFERENTIATED sdf+grad evaluation.
+    # 'pallas' = custom_vjp with a hand-written VMEM-resident backward kernel
+    # (ops/pallas_sdf_grad.py; MLP-mode only) — removes the HBM activation
+    # temps XLA's reverse-over-forward autodiff saves.
+    diff_backend: str = "jnp"
 
 
 def init_monosdf(key, cfg: MonoSDFConfig) -> dict:
@@ -143,9 +148,17 @@ def render_rays(
         if (cfg.mixed_precision and cfg.compute_dtype != "float32")
         else None
     )
-    sdf, feature_vectors, gradients = sdf_feat_grad(
-        params["implicit"], cfg.implicit, points_flat, dtype=main_dtype
-    )
+    use_pallas_diff = cfg.diff_backend == "pallas" and not cfg.implicit.use_grid
+    if use_pallas_diff:
+        from .fields import sdf_feat_grad_pallas
+
+        sdf, feature_vectors, gradients = sdf_feat_grad_pallas(
+            params["implicit"], cfg.implicit, points_flat, dtype=main_dtype
+        )
+    else:
+        sdf, feature_vectors, gradients = sdf_feat_grad(
+            params["implicit"], cfg.implicit, points_flat, dtype=main_dtype
+        )
 
     code_flat = None
     if image_code is not None:
@@ -211,9 +224,16 @@ def render_rays(
             jax.random.uniform(k_eik_neigh, eik_points.shape, dtype=rays_o.dtype) - 0.5
         ) * 0.01
         all_eik = jnp.concatenate([eik_points, neighbours], axis=0)
-        grad_theta = sdf_gradient(
-            params["implicit"], cfg.implicit, all_eik, dtype=main_dtype
-        )
+        if use_pallas_diff:
+            from .fields import sdf_gradient_pallas
+
+            grad_theta = sdf_gradient_pallas(
+                params["implicit"], cfg.implicit, all_eik, dtype=main_dtype
+            )
+        else:
+            grad_theta = sdf_gradient(
+                params["implicit"], cfg.implicit, all_eik, dtype=main_dtype
+            )
         half = all_eik.shape[0] // 2
         output["grad_theta"] = grad_theta[:half]
         output["grad_theta_nei"] = grad_theta[half:]

@@ -1,0 +1,496 @@
+"""Pallas TPU kernel: hand-written backward for the differentiated SDF path.
+
+This is the TPU-native analog of the reference's hand-written CUDA
+double-backward (code/hashencoder/src/hashencoder.cu:375-595) applied to the
+MLP: the training loss differentiates the spatial gradient grad_x sdf (the
+eikonal/normal terms), so the backward pass must propagate cotangents through
+BOTH the primal chain and the three forward-mode tangent chains, including
+the second-derivative (softplus'') coupling between them.
+
+XLA's autodiff of this reverse-over-forward graph is correct but
+HBM-bound: it saves ~20 (N, 256) activation temps and streams them back
+during the backward (measured 20.5 ms of a 39 ms step at 1024 rays).
+This kernel instead RECOMPUTES the forward inside VMEM per 128-point block
+and runs the full reverse sweep without any intermediate ever touching HBM;
+only the inputs, output cotangents, and the (tiny) weight-gradient
+accumulators cross the memory boundary.
+
+Structure trick: the primal row-block (b, d) and the three stacked tangent
+row-blocks (3b, d) share every matmul, so each layer's backward is exactly
+three MXU calls on (4b, d) operands:
+
+    Z   = A @ W           (forward recompute; primal rows get +bias)
+    dW += A^T @ CT        (weight grad, f32 accumulated across grid steps)
+    ct  = CT @ W^T        (cotangent propagation)
+
+with the VPU handling the softplus gates between layers:
+
+    primal:  h      = softplus_100(z)
+    tangent: t      = sigmoid(100 z) * u
+    reverse: ct_z   = ct_h * s + (sum_k ct_t_k * u_k) * 100 s (1 - s)
+             ct_u_k = s * ct_t_k
+
+Weight-norm stays outside: the kernel sees EFFECTIVE (W, b) (resolved by
+``effective_linear_weights``) and JAX chains d(effective W)/d(g, v).
+
+The input-point cotangent is NOT produced (declared zero): every training
+loss in the reference differentiates w.r.t. parameters only — sample points
+are stop-gradient'ed data (ray_sampler.py:130, network.py:583-600).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_LANE = 128
+
+
+def _r128(n: int) -> int:
+    return -(-n // _LANE) * _LANE
+
+
+def _softplus100(x):
+    # softplus(beta=100), overflow-safe (matches ops/pallas_mlp.py)
+    return jnp.where(
+        x > 0.2, x, jnp.log1p(jnp.exp(100.0 * jnp.minimum(x, 0.2))) / 100.0
+    )
+
+
+def _mask_lanes(v, width: int):
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    return jnp.where(lane < width, v, 0.0)
+
+
+def _layer_dims(ws, skip_in, d0: int):
+    """Per-layer true/padded in/out widths; validates the skip topology."""
+    in_true = [w.shape[0] for w in ws]
+    out_true = [w.shape[1] for w in ws]
+    for l in range(1, len(ws)):
+        expect = out_true[l - 1] + (d0 if l in skip_in else 0)
+        assert in_true[l] == expect, (l, in_true[l], expect)
+    assert in_true[0] == d0
+    return in_true, out_true, [_r128(d) for d in in_true], [_r128(d) for d in out_true]
+
+
+# ---------------------------------------------------------------------------
+# Stacked forward (primal + 3 tangents) — pure jnp; custom_vjp primal
+# ---------------------------------------------------------------------------
+
+def stacked_forward(ws, bs, inp, t0, skip_in: tuple, dtype=None):
+    """Primal + stacked-basis-tangent forward of the SDF MLP.
+
+    inp (N, d0) embedded points; t0 (3N, d0) the three basis tangents of the
+    embedding stacked along rows ([k=0 block; k=1; k=2]). Returns
+    (out (N, d_last), grad (N, 3)) where grad[:, k] = d out[:, 0] / d x_k.
+
+    Numerics mirror nn.apply_linear's mixed mode: with ``dtype`` the matmul
+    operands are cast down, accumulation is f32, and inter-layer activations
+    are rounded to ``dtype``; the final layer emits f32.
+    """
+    N = inp.shape[0]
+    sqrt2 = math.sqrt(2.0)
+    L = len(ws)
+    h, T = inp, t0
+    for l in range(L):
+        if l in skip_in:
+            h = jnp.concatenate([h, inp.astype(h.dtype)], axis=-1) / sqrt2
+            T = jnp.concatenate([T, t0.astype(T.dtype)], axis=-1) / sqrt2
+        w = ws[l]
+        if dtype is not None:
+            hw = jax.lax.dot_general(
+                h.astype(dtype), w.astype(dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            Tw = jax.lax.dot_general(
+                T.astype(dtype), w.astype(dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            hw, Tw = h @ w, T @ w
+        z = hw + bs[l]
+        if l < L - 1:
+            s = jax.nn.sigmoid(100.0 * z)
+            h = _softplus100(z)
+            T = jnp.concatenate([s, s, s], axis=0) * Tw
+            if dtype is not None:
+                h, T = h.astype(dtype), T.astype(dtype)
+        else:
+            h, T = z, Tw
+    out = h.astype(jnp.float32)
+    grad = jnp.transpose(T[:, 0].astype(jnp.float32).reshape(3, N))
+    return out, grad
+
+
+# ---------------------------------------------------------------------------
+# Pallas forward kernel (primal + stacked tangents, no residuals)
+# ---------------------------------------------------------------------------
+
+def _fwd_pallas(ws, bs, inp, t0, skip_in: tuple, dtype, block: int,
+                interpret: bool | None):
+    """(out (N, d_last), grad (N, 3)): same math as ``stacked_forward`` but
+    one VMEM-resident kernel — XLA's lowering of the stacked-tangent forward
+    is HBM-bound (measured 23 TFLOP/s vs 110 in-kernel)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+
+    N, d0 = inp.shape
+    L = len(ws)
+    in_true, out_true, in_pad, out_pad = _layer_dims(ws, skip_in, d0)
+    d0p = _r128(d0)
+    sqrt2 = math.sqrt(2.0)
+    act_dtype = jnp.dtype(dtype) if dtype is not None else jnp.float32
+    op_dtype = act_dtype
+
+    b = block
+    n_pad = -(-max(N, 1) // b) * b
+
+    wp = [
+        jnp.pad(ws[l].astype(jnp.float32),
+                ((0, in_pad[l] - in_true[l]), (0, out_pad[l] - out_true[l])))
+        for l in range(L)
+    ]
+    bp = [
+        jnp.pad(bs[l].astype(jnp.float32), (0, out_pad[l] - out_true[l]))[None]
+        for l in range(L)
+    ]
+    inp_p = jnp.pad(inp.astype(jnp.float32), ((0, n_pad - N), (0, d0p - d0)))
+    groups = [
+        jnp.pad(t0[k * N:(k + 1) * N].astype(jnp.float32),
+                ((0, n_pad - N), (0, d0p - d0)))
+        for k in range(3)
+    ]
+    t0_p = (
+        jnp.stack(groups, axis=0)
+        .reshape(3, n_pad // b, b, d0p)
+        .transpose(1, 0, 2, 3)
+        .reshape(3 * n_pad, d0p)
+    )
+
+    def kernel(*refs):
+        inp_ref, t0_ref = refs[:2]
+        w_refs = refs[2:2 + L]
+        b_refs = refs[2 + L:2 + 2 * L]
+        o_ref, g_ref = refs[2 + 2 * L], refs[3 + 2 * L]
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (4 * b, 1), 0)
+        primal_row = (row < b).astype(jnp.float32)
+
+        A0 = jnp.concatenate([inp_ref[:], t0_ref[:]], axis=0)
+        A = A0
+        for l in range(L):
+            if l in skip_in:
+                A = jnp.concatenate(
+                    [A[:, :out_true[l - 1]], A0[:, :d0]], axis=-1
+                ) / sqrt2
+                A = jnp.pad(A, ((0, 0), (0, in_pad[l] - in_true[l])))
+            Z = jax.lax.dot_general(
+                A.astype(op_dtype), w_refs[l][:].astype(op_dtype),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ) + primal_row * b_refs[l][:]
+            if l < L - 1:
+                z = Z[:b]
+                s = jax.nn.sigmoid(100.0 * z)
+                h = _mask_lanes(_softplus100(z), out_true[l])
+                T = jnp.concatenate([s, s, s], axis=0) * Z[b:]
+                A = jnp.concatenate([h, T], axis=0).astype(act_dtype)
+            else:
+                A = Z
+        o_ref[:] = A[:b]
+        gcols = jnp.concatenate(
+            [A[b:2 * b, 0:1], A[2 * b:3 * b, 0:1], A[3 * b:4 * b, 0:1]],
+            axis=1,
+        )
+        g_ref[:] = jnp.pad(gcols, ((0, 0), (0, _LANE - 3)))
+
+    grid = (n_pad // b,)
+    in_specs = [
+        pl.BlockSpec((b, d0p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * b, d0p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    for l in range(L):
+        in_specs.append(pl.BlockSpec(wp[l].shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    for l in range(L):
+        in_specs.append(pl.BlockSpec(bp[l].shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    o, g = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((b, out_pad[-1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, _LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, out_pad[-1]), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, _LANE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(inp_p, t0_p, *wp, *bp)
+    return o[:N, : out_true[-1]], g[:N, :3]
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_pallas(ws, bs, inp, t0, co, cg, skip_in: tuple, dtype, block: int,
+                interpret: bool | None):
+    """Hand-written VJP: returns (dws, dbs) at true shapes.
+
+    co (N, d_last) cotangent of the primal output; cg (3N, 1) cotangent of
+    the stacked tangent outputs' column 0 (i.e. d loss / d grad, stacked).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+
+    N, d0 = inp.shape
+    L = len(ws)
+    in_true, out_true, in_pad, out_pad = _layer_dims(ws, skip_in, d0)
+    d0p = _r128(d0)
+    sqrt2 = math.sqrt(2.0)
+    act_dtype = jnp.dtype(dtype) if dtype is not None else jnp.float32
+    op_dtype = act_dtype  # matmul operand dtype
+
+    b = block
+    n_pad = -(-max(N, 1) // b) * b
+
+    # padded, zero-filled operands (zero pad rows/cols keep all math exact)
+    wp = [
+        jnp.pad(ws[l].astype(jnp.float32),
+                ((0, in_pad[l] - in_true[l]), (0, out_pad[l] - out_true[l])))
+        for l in range(L)
+    ]
+    bp = [
+        jnp.pad(bs[l].astype(jnp.float32), (0, out_pad[l] - out_true[l]))[None]
+        for l in range(L)
+    ]
+    inp_p = jnp.pad(inp.astype(jnp.float32), ((0, n_pad - N), (0, d0p - d0)))
+
+    def blocked3(x, pad_cols: int):
+        """Globally-stacked (3N, d) -> block-interleaved (3*n_pad, d) so that
+        grid block i's (3b) rows are [k0 rows i*b:(i+1)*b; k1 same; k2 same]."""
+        groups = [
+            jnp.pad(x[k * N:(k + 1) * N].astype(jnp.float32),
+                    ((0, n_pad - N), (0, pad_cols)))
+            for k in range(3)
+        ]
+        s = jnp.stack(groups, axis=0)  # (3, n_pad, d)
+        d = s.shape[-1]
+        return (
+            s.reshape(3, n_pad // b, b, d)
+            .transpose(1, 0, 2, 3)
+            .reshape(3 * n_pad, d)
+        )
+
+    t0_p = blocked3(t0, d0p - d0)
+    co_p = jnp.pad(co.astype(jnp.float32),
+                   ((0, n_pad - N), (0, out_pad[-1] - co.shape[1])))
+    cg_p = blocked3(cg, _LANE - cg.shape[1])
+
+    def kernel(*refs):
+        (inp_ref, t0_ref, co_ref, cg_ref), rest = refs[:4], refs[4:]
+        w_refs, rest = rest[:L], rest[L:]
+        b_refs, rest = rest[:L], rest[L:]
+        dw_refs, rest = rest[:L], rest[L:]
+        db_refs, rest = rest[:L], rest[L:]
+        z_refs = rest[:L]
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            for l in range(L):
+                dw_refs[l][:] = jnp.zeros_like(dw_refs[l])
+                db_refs[l][:] = jnp.zeros_like(db_refs[l])
+
+        def dot(a, w_, transpose_w=False):
+            a = a.astype(op_dtype)
+            w_ = w_.astype(op_dtype)
+            dims = (((1,), (1,)), ((), ())) if transpose_w else (((1,), (0,)), ((), ()))
+            return jax.lax.dot_general(a, w_, dims,
+                                       preferred_element_type=jnp.float32)
+
+        def dot_accum(a, ct):  # (rows, d_in)^T @ (rows, d_out) -> (d_in, d_out)
+            return jax.lax.dot_general(
+                a.astype(op_dtype), ct.astype(op_dtype),
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (4 * b, 1), 0)
+        primal_row = (row < b).astype(jnp.float32)  # bias only on primal rows
+
+        A0 = jnp.concatenate([inp_ref[:], t0_ref[:]], axis=0)  # (4b, d0p)
+
+        # ---- forward recompute, storing pre-activation Z per layer --------
+        A = A0
+        for l in range(L):
+            if l in skip_in:
+                A = jnp.concatenate(
+                    [A[:, :out_true[l - 1]], A0[:, :d0]], axis=-1
+                ) / sqrt2
+                A = jnp.pad(A, ((0, 0), (0, in_pad[l] - in_true[l])))
+            Z = dot(A, w_refs[l][:]) + primal_row * b_refs[l][:]
+            z_refs[l][:] = Z.astype(act_dtype)
+            if l < L - 1:
+                z = Z[:b]
+                s = jax.nn.sigmoid(100.0 * z)
+                h = _mask_lanes(_softplus100(z), out_true[l])
+                T = jnp.concatenate([s, s, s], axis=0) * Z[b:]
+                A = jnp.concatenate([h, T], axis=0).astype(act_dtype)
+
+        # ---- reverse sweep -------------------------------------------------
+        # tangent-output cotangent: column 0 holds d loss / d grad_k
+        lane_last = jax.lax.broadcasted_iota(
+            jnp.int32, (3 * b, out_pad[-1]), 1
+        )
+        ct_T_last = jnp.where(lane_last == 0, cg_ref[:][:, :1], 0.0)
+        ct_A = jnp.concatenate([co_ref[:], ct_T_last], axis=0)  # (4b, out_pad[-1])
+
+        for l in range(L - 1, -1, -1):
+            Z = z_refs[l][:].astype(jnp.float32)
+            if l == L - 1:
+                CT = ct_A
+            else:
+                z, U = Z[:b], Z[b:]
+                s = jax.nn.sigmoid(100.0 * z)
+                s2 = 100.0 * s * (1.0 - s)
+                ct_h, ct_T = ct_A[:b], ct_A[b:]
+                ct_sum = (
+                    ct_T[0:b] * U[0:b]
+                    + ct_T[b:2 * b] * U[b:2 * b]
+                    + ct_T[2 * b:3 * b] * U[2 * b:3 * b]
+                )
+                ct_z = ct_h * s + ct_sum * s2
+                ct_U = jnp.concatenate([s, s, s], axis=0) * ct_T
+                CT = jnp.concatenate([ct_z, ct_U], axis=0)
+
+            # A_in recompute (the layer's matmul input)
+            if l == 0:
+                A_in = A0
+            else:
+                Zp = z_refs[l - 1][:].astype(jnp.float32)
+                zp = Zp[:b]
+                sp = jax.nn.sigmoid(100.0 * zp)
+                hp = _mask_lanes(_softplus100(zp), out_true[l - 1])
+                Tp = jnp.concatenate([sp, sp, sp], axis=0) * Zp[b:]
+                A_in = jnp.concatenate([hp, Tp], axis=0)
+                if l in skip_in:
+                    A_in = jnp.concatenate(
+                        [A_in[:, :out_true[l - 1]], A0[:, :d0]], axis=-1
+                    ) / sqrt2
+                    A_in = jnp.pad(A_in, ((0, 0), (0, in_pad[l] - in_true[l])))
+
+            dw_refs[l][:] += dot_accum(A_in, CT)
+            db_refs[l][:] += jnp.sum(CT[:b], axis=0, keepdims=True)
+
+            if l > 0:
+                ct_Ain = dot(CT, w_refs[l][:], transpose_w=True)  # (4b, in_pad[l])
+                prev = out_true[l - 1]
+                if l in skip_in:
+                    ct_prev = ct_Ain[:, :prev] / sqrt2
+                else:
+                    ct_prev = ct_Ain[:, :prev]
+                ct_A = jnp.pad(ct_prev, ((0, 0), (0, out_pad[l - 1] - prev)))
+
+    grid = (n_pad // b,)
+    in_specs = [
+        pl.BlockSpec((b, d0p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * b, d0p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, out_pad[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * b, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    for l in range(L):
+        in_specs.append(pl.BlockSpec(wp[l].shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    for l in range(L):
+        in_specs.append(pl.BlockSpec(bp[l].shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    out_specs = [
+        pl.BlockSpec(wp[l].shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for l in range(L)
+    ] + [
+        pl.BlockSpec(bp[l].shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for l in range(L)
+    ]
+    out_shape = [jax.ShapeDtypeStruct(wp[l].shape, jnp.float32) for l in range(L)] + [
+        jax.ShapeDtypeStruct(bp[l].shape, jnp.float32) for l in range(L)
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((4 * b, out_pad[l]), act_dtype) for l in range(L)
+    ]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(inp_p, t0_p, co_p, cg_p, *wp, *bp)
+
+    dws = [outs[l][: in_true[l], : out_true[l]] for l in range(L)]
+    dbs = [outs[L + l][0, : out_true[l]] for l in range(L)]
+    return dws, dbs
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def sdf_mlp_with_grad(ws, bs, inp, t0, skip_in: tuple, dtype_name: str,
+                      block: int):
+    """(out, grad) of the SDF MLP with a Pallas hand-written backward.
+
+    ws/bs: EFFECTIVE per-layer weights (tuple of (d_in, d_out)) and biases.
+    inp (N, d0) embedded points, t0 (3N, d0) stacked basis tangents of the
+    embedding. dtype_name: '' for f32, else e.g. 'bfloat16'.
+
+    The VJP produces parameter gradients only; inp/t0 cotangents are ZERO
+    (sample points are stop-gradient'ed in every reference loss).
+    """
+    dtype = jnp.dtype(dtype_name) if dtype_name else None
+    return _fwd_pallas(list(ws), list(bs), inp, t0, skip_in, dtype, block, None)
+
+
+def _fwd(ws, bs, inp, t0, skip_in, dtype_name, block):
+    out = sdf_mlp_with_grad(ws, bs, inp, t0, skip_in, dtype_name, block)
+    return out, (ws, bs, inp, t0)
+
+
+def _bwd(skip_in, dtype_name, block, res, cts):
+    ws, bs, inp, t0 = res
+    co, cgrad = cts  # (N, d_out), (N, 3)
+    N = inp.shape[0]
+    dtype = jnp.dtype(dtype_name) if dtype_name else None
+    # (N, 3) -> stacked (3N, 1) matching t0's row blocks
+    cg = jnp.transpose(cgrad).reshape(3 * N, 1)
+    dws, dbs = _bwd_pallas(
+        list(ws), list(bs), inp, t0, co, cg, skip_in, dtype, block, None
+    )
+    return (
+        tuple(dw.astype(w.dtype) for dw, w in zip(dws, ws)),
+        tuple(db.astype(b_.dtype) for db, b_ in zip(dbs, bs)),
+        jnp.zeros_like(inp),
+        jnp.zeros_like(t0),
+    )
+
+
+sdf_mlp_with_grad.defvjp(_fwd, _bwd)

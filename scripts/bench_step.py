@@ -1,0 +1,113 @@
+"""Parameterized train-step timing on the real chip (experiment harness;
+bench.py stays the official single-line metric).
+
+Usage: python scripts/bench_step.py [--rays 1024] [--diff jnp|pallas]
+       [--sampler jnp|pallas] [--iters 20] [--grid]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rays", type=int, default=1024)
+    ap.add_argument("--diff", default="jnp")
+    ap.add_argument("--sampler", default="jnp")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--grid", action="store_true", help="hash-grid flagship config")
+    ap.add_argument("--f32", action="store_true", help="disable mixed precision")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from monosdf_tpu.data import make_synthetic_sphere_scene, sample_ray_batch
+    from monosdf_tpu.losses import LossConfig
+    from monosdf_tpu.models import MonoSDFConfig, init_monosdf
+    from monosdf_tpu.models.fields import ImplicitNetConfig, RenderingNetConfig
+    from monosdf_tpu.ops.hashgrid import HashGridConfig
+    from monosdf_tpu.ops.sampler import SamplerConfig
+    from monosdf_tpu.train import (
+        OptimConfig, init_train_state, make_optimizer, make_train_step,
+    )
+
+    if args.grid:
+        implicit = ImplicitNetConfig(
+            feature_vector_size=256, dims=(256, 256), multires=6,
+            inside_outside=True, bias=0.9, use_grid=True,
+            grid=HashGridConfig(
+                num_levels=16, level_dim=2, base_resolution=16,
+                log2_hashmap_size=19, desired_resolution=2048,
+            ),
+            divide_factor=1.1, sdf_bounding_sphere=0.0,
+        )
+    else:
+        implicit = ImplicitNetConfig(
+            feature_vector_size=256, dims=(256,) * 8, skip_in=(4,), multires=6,
+            inside_outside=True, bias=0.9, sdf_bounding_sphere=1.1,
+        )
+    cfg = MonoSDFConfig(
+        implicit=implicit,
+        rendering=RenderingNetConfig(
+            feature_vector_size=256, dims=(256, 256), multires_view=4
+        ),
+        sampler=SamplerConfig(
+            scene_bounding_sphere=1.1, N_samples=64, N_samples_eval=128,
+            N_samples_extra=32, max_total_iters=5, intersection="cube",
+        ),
+        scene_bounding_sphere=1.1,
+        compute_dtype="bfloat16" if not args.f32 else "float32",
+        mixed_precision=not args.f32,
+        sampler_backend=args.sampler,
+        diff_backend=args.diff,
+    )
+
+    params = init_monosdf(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(
+        OptimConfig(learning_rate=5e-4, decay_steps=150_000, grid_mode=args.grid)
+    )
+    state = init_train_state(params, opt)
+    step = jax.jit(make_train_step(cfg, LossConfig(), opt), donate_argnums=(0,))
+
+    scene = make_synthetic_sphere_scene(n_images=4, img_res=64)
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, sample_ray_batch(scene, np.random.default_rng(0), args.rays)
+    )
+
+    t_c = time.perf_counter()
+    for i in range(args.warmup):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+    loss0 = float(metrics["loss"])
+    compile_s = time.perf_counter() - t_c
+
+    t_rt = time.perf_counter()
+    _ = float(metrics["loss"])
+    rt = time.perf_counter() - t_rt
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+    loss1 = float(metrics["loss"])
+    dt = time.perf_counter() - t0 - rt
+
+    print(json.dumps({
+        "rays": args.rays, "diff": args.diff, "sampler": args.sampler,
+        "grid": args.grid, "ms_per_step": round(1e3 * dt / args.iters, 2),
+        "rays_per_s": round(args.rays * args.iters / dt, 1),
+        "compile_s": round(compile_s, 1),
+        "loss_first": round(loss0, 4), "loss_last": round(loss1, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -100,3 +100,16 @@ class TestSchema:
         exp = build_configs(parse_hocon("train{expname = x}"))
         assert exp.model.implicit.use_grid is False
         assert exp.loss.if_scale_invariant_depth is True
+        assert exp.model.mixed_precision is False
+        assert exp.model.diff_backend == "jnp"
+
+    def test_tpu_section(self):
+        exp = build_configs(parse_hocon(
+            "train{expname = x}\n"
+            "tpu{ mixed_precision = True\n compute_dtype = bfloat16\n"
+            " sampler_backend = pallas\n diff_backend = pallas }"
+        ))
+        assert exp.model.mixed_precision is True
+        assert exp.model.compute_dtype == "bfloat16"
+        assert exp.model.sampler_backend == "pallas"
+        assert exp.model.diff_backend == "pallas"
