@@ -61,6 +61,23 @@ def _softplus100(x):
     )
 
 
+def _gate100(z):
+    """(softplus_100(z), sigmoid(100 z)) from ONE shared exponential.
+
+    The kernels are VPU-bound on these transcendentals; jax.nn.sigmoid +
+    softplus cost ~3 exp per element, this costs 1 exp + 1 log1p. Exact in
+    f32: for z > 0.2, exp(-100 z) < 2.1e-9 so sigmoid(100 z) rounds to 1.0
+    (and softplus_100 to z), matching the clamped branches bit-for-bit; for
+    z <= 0.2, e = exp(100 z) <= e^20 never overflows and e/(1+e) equals the
+    textbook sigmoid to 1 ulp.
+    """
+    e = jnp.exp(100.0 * jnp.minimum(z, 0.2))
+    hot = z > 0.2
+    s = jnp.where(hot, 1.0, e / (1.0 + e))
+    h = jnp.where(hot, z, jnp.log1p(e) / 100.0)
+    return h, s
+
+
 def _mask_lanes(v, width: int):
     lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
     return jnp.where(lane < width, v, 0.0)
@@ -196,9 +213,8 @@ def _fwd_pallas(ws, bs, inp, t0, skip_in: tuple, dtype, block: int,
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             ) + primal_row * b_refs[l][:]
             if l < L - 1:
-                z = Z[:b]
-                s = jax.nn.sigmoid(100.0 * z)
-                h = _mask_lanes(_softplus100(z), out_true[l])
+                h, s = _gate100(Z[:b])
+                h = _mask_lanes(h, out_true[l])
                 T = jnp.concatenate([s, s, s], axis=0) * Z[b:]
                 A = jnp.concatenate([h, T], axis=0).astype(act_dtype)
             else:
@@ -347,9 +363,8 @@ def _bwd_pallas(ws, bs, inp, t0, co, cg, skip_in: tuple, dtype, block: int,
             Z = dot(A, w_refs[l][:]) + primal_row * b_refs[l][:]
             z_refs[l][:] = Z.astype(act_dtype)
             if l < L - 1:
-                z = Z[:b]
-                s = jax.nn.sigmoid(100.0 * z)
-                h = _mask_lanes(_softplus100(z), out_true[l])
+                h, s = _gate100(Z[:b])
+                h = _mask_lanes(h, out_true[l])
                 T = jnp.concatenate([s, s, s], axis=0) * Z[b:]
                 A = jnp.concatenate([h, T], axis=0).astype(act_dtype)
 
@@ -367,7 +382,7 @@ def _bwd_pallas(ws, bs, inp, t0, co, cg, skip_in: tuple, dtype, block: int,
                 CT = ct_A
             else:
                 z, U = Z[:b], Z[b:]
-                s = jax.nn.sigmoid(100.0 * z)
+                _, s = _gate100(z)
                 s2 = 100.0 * s * (1.0 - s)
                 ct_h, ct_T = ct_A[:b], ct_A[b:]
                 ct_sum = (
@@ -384,9 +399,8 @@ def _bwd_pallas(ws, bs, inp, t0, co, cg, skip_in: tuple, dtype, block: int,
                 A_in = A0
             else:
                 Zp = z_refs[l - 1][:].astype(jnp.float32)
-                zp = Zp[:b]
-                sp = jax.nn.sigmoid(100.0 * zp)
-                hp = _mask_lanes(_softplus100(zp), out_true[l - 1])
+                hp, sp = _gate100(Zp[:b])
+                hp = _mask_lanes(hp, out_true[l - 1])
                 Tp = jnp.concatenate([sp, sp, sp], axis=0) * Zp[b:]
                 A_in = jnp.concatenate([hp, Tp], axis=0)
                 if l in skip_in:
