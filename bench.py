@@ -59,6 +59,7 @@ def main():
         compute_dtype="bfloat16",
         mixed_precision=True,  # bf16 matmuls (f32 accum) in the diff'd path too
         diff_backend="pallas",  # hand-written VMEM-resident backward (ops/pallas_sdf_grad.py)
+        sampler_backend="pallas",  # fused VMEM sweep MLP (ops/pallas_mlp.py)
     )
 
     params = init_monosdf(jax.random.PRNGKey(0), cfg)

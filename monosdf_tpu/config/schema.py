@@ -135,6 +135,7 @@ def build_configs(conf: dict) -> ExperimentConfig:
         mixed_precision=bool(_get(tpu, "mixed_precision", False)),
         sampler_backend=str(_get(tpu, "sampler_backend", "jnp")),
         diff_backend=str(_get(tpu, "diff_backend", "jnp")),
+        rgb_backend=str(_get(tpu, "rgb_backend", "jnp")),
     )
 
     max_total_iters = int(_get(train, "max_total_iters", 150_000))

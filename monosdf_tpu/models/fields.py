@@ -241,6 +241,44 @@ def sdf_gradient_pallas(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray,
     return grad.reshape(*prefix, 3)
 
 
+def rendering_apply_pallas(
+    params: dict,
+    cfg: "RenderingNetConfig",
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    view_dirs: jnp.ndarray,
+    feature_vectors: jnp.ndarray,
+    image_code: jnp.ndarray | None = None,
+    dtype=None,
+    block: int = 256,
+) -> dict:
+    """rendering_apply (non-spec trunk) with the Pallas hand-written VJP
+    (ops/pallas_rgb_grad.py): backward recomputes in VMEM and emits weight
+    AND input cotangents (normals/features/per-image codes all need grads).
+    View PE, concat, and the final sigmoid/HDR-relu stay in XLA."""
+    from ..ops.pallas_mlp import effective_linear_weights
+    from ..ops.pallas_rgb_grad import mlp_with_input_grad
+
+    assert not cfg.spec, "pallas radiance path covers the plain trunk only"
+    if cfg.multires_view > 0:
+        view_dirs = positional_encoding(view_dirs, cfg.multires_view)
+    if cfg.mode == "idr":
+        h = jnp.concatenate([points, view_dirs, normals, feature_vectors], axis=-1)
+    elif cfg.mode == "nerf":
+        h = jnp.concatenate([view_dirs, feature_vectors], axis=-1)
+    else:
+        raise NotImplementedError(cfg.mode)
+    if cfg.per_image_code:
+        assert image_code is not None
+        h = jnp.concatenate([h, image_code], axis=-1)
+
+    ws, bs = effective_linear_weights(params, cfg.num_layers)
+    dtype_name = jnp.dtype(dtype).name if dtype is not None else ""
+    out = mlp_with_input_grad(tuple(ws), tuple(bs), h, dtype_name, block)
+    out = jax.nn.relu(out) if cfg.if_hdr else jax.nn.sigmoid(out)
+    return {"rgb": out}
+
+
 def sdf_gradient(
     params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray, dtype=None
 ) -> jnp.ndarray:

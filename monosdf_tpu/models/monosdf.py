@@ -57,6 +57,11 @@ class MonoSDFConfig:
     # (ops/pallas_sdf_grad.py; MLP-mode only) — removes the HBM activation
     # temps XLA's reverse-over-forward autodiff saves.
     diff_backend: str = "jnp"
+    # 'jnp' or 'pallas': backend for the radiance MLP (fwd + VJP with input
+    # cotangents, ops/pallas_rgb_grad.py). Measured perf-NEUTRAL at the
+    # 1024-ray budget (XLA already handles the small trunk well) — kept as
+    # an option for larger batches; non-spec modes only.
+    rgb_backend: str = "jnp"
 
 
 def init_monosdf(key, cfg: MonoSDFConfig) -> dict:
@@ -166,11 +171,22 @@ def render_rays(
             -1, image_code.shape[-1]
         )
 
-    render_out = rendering_apply(
-        params["rendering"], cfg.rendering,
-        points_flat, gradients, dirs_flat, feature_vectors, code_flat,
-        dtype=main_dtype,
-    )
+    # the radiance kernel is independent of the implicit net's mode (it
+    # also applies in grid mode), unlike the SDF kernel above
+    if cfg.rgb_backend == "pallas" and not cfg.rendering.spec:
+        from .fields import rendering_apply_pallas
+
+        render_out = rendering_apply_pallas(
+            params["rendering"], cfg.rendering,
+            points_flat, gradients, dirs_flat, feature_vectors, code_flat,
+            dtype=main_dtype,
+        )
+    else:
+        render_out = rendering_apply(
+            params["rendering"], cfg.rendering,
+            points_flat, gradients, dirs_flat, feature_vectors, code_flat,
+            dtype=main_dtype,
+        )
     rgb = render_out["rgb"].reshape(R, S, 3)
 
     beta = get_beta(params["density"]["beta"], cfg.beta_min)
