@@ -44,12 +44,17 @@ class SamplerConfig:
     # How the uniform init finds `far`: 'cube' (replica/scannet/tnt),
     # 'sphere' (dtu/bmvs w/ take_sphere_intersection), or 'none' (constant far).
     intersection: str = "cube"
-    # Sorted-merge implementation for the cached-SDF upsampling loop:
-    # 'sort' = lax.sort of the concatenation (bitonic, low HBM traffic);
+    # Sorted-merge implementation for the cached-SDF upsampling loop
+    # (all three are exact — tests assert bitwise-equal outputs):
+    # 'sort' = lax.sort of the concatenation (full bitonic sort);
+    # 'bitonic' = bitonic MERGE network (log2 K compare-exchange stages —
+    # exploits that both inputs are already sorted; measured on v5e it wins
+    # only at unpadded power-of-two widths >= 512, where relayout cost
+    # doesn't swamp the log-factor saving: 0.65 vs 0.94 ms at 384+128);
     # 'onehot' = rank computation + one-hot matmul (MXU, but materializes
-    # (R, N, K) one-hots). Measured on-chip per shape; 'sort' wins at the
-    # production (1024, 640) shapes.
-    merge_impl: str = "sort"
+    # (R, N, K) one-hots; measured slower at production shapes);
+    # 'auto' = per-shape choice of the measured winner.
+    merge_impl: str = "auto"
     # NeRF++-style inverse-sphere background (reference ray_sampler.py:88,
     # 105-108, 236-239, 257-260). When set, the extra-sample `far` is the
     # scene sphere's EXIT intersection, and `inverse_sphere_bg_z_vals` below
@@ -142,6 +147,48 @@ def _merge_sorted(z_old, s_old, z_new, s_new):
     z = jnp.einsum("rn,rnk->rk", z_old, oh_old) + jnp.einsum("rm,rmk->rk", z_new, oh_new)
     s = jnp.einsum("rn,rnk->rk", s_old, oh_old) + jnp.einsum("rm,rmk->rk", s_new, oh_new)
     return z, s
+
+
+def _merge_sorted_bitonic(z_old, s_old, z_new, s_new):
+    """Sorted merge via a bitonic MERGE network (not a full sort).
+
+    Both inputs are sorted per ray, so [z_old asc, +inf pad, reverse(z_new)]
+    is a bitonic sequence and log2(K) compare-exchange stages suffice —
+    O(K log K) work vs lax.sort's O(K log^2 K) bitonic sort. Payload (the
+    SDF cache) swaps with its key. Pads sort to the tail and are sliced off.
+    """
+    R, N = z_old.shape
+    M = z_new.shape[1]
+    K = N + M
+    Kp = 1 << (K - 1).bit_length()
+    pad = Kp - K
+    if pad:
+        z = jnp.concatenate(
+            [z_old, jnp.full((R, pad), jnp.inf, z_old.dtype), z_new[:, ::-1]],
+            axis=-1,
+        )
+        s = jnp.concatenate(
+            [s_old, jnp.zeros((R, pad), s_old.dtype), s_new[:, ::-1]], axis=-1
+        )
+    else:
+        z = jnp.concatenate([z_old, z_new[:, ::-1]], axis=-1)
+        s = jnp.concatenate([s_old, s_new[:, ::-1]], axis=-1)
+
+    d = Kp // 2
+    while d >= 1:
+        z4 = z.reshape(R, Kp // (2 * d), 2, d)
+        s4 = s.reshape(R, Kp // (2 * d), 2, d)
+        zlo, zhi = z4[:, :, 0], z4[:, :, 1]
+        slo, shi = s4[:, :, 0], s4[:, :, 1]
+        swap = zlo > zhi
+        z = jnp.stack(
+            [jnp.where(swap, zhi, zlo), jnp.where(swap, zlo, zhi)], axis=2
+        ).reshape(R, Kp)
+        s = jnp.stack(
+            [jnp.where(swap, shi, slo), jnp.where(swap, slo, shi)], axis=2
+        ).reshape(R, Kp)
+        d //= 2
+    return z[:, :K], s[:, :K]
 
 
 def _onehot_gather2(a: jnp.ndarray, b: jnp.ndarray, idx: jnp.ndarray):
@@ -306,9 +353,16 @@ def error_bound_z_vals(
             new_sdf = eval_sdf(new_z)
             # Merge cached SDF with the new samples (replaces the
             # reference's sort+gather, ray_sampler.py:133-135, 232-233).
-            merge = (
-                _merge_sorted_sort if cfg.merge_impl == "sort" else _merge_sorted
-            )
+            impl = cfg.merge_impl
+            if impl == "auto":
+                k_tot = z_vals.shape[1] + new_z.shape[1]
+                pow2 = (k_tot & (k_tot - 1)) == 0
+                impl = "bitonic" if (pow2 and k_tot >= 512) else "sort"
+            merge = {
+                "sort": _merge_sorted_sort,
+                "bitonic": _merge_sorted_bitonic,
+                "onehot": _merge_sorted,
+            }[impl]
             z_vals, sdf = merge(z_vals, sdf, new_z, new_sdf)
         else:
             # Final draw from the rendering weights CDF

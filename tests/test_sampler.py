@@ -185,3 +185,54 @@ class TestInverseSphereBg:
         )
         exit_dist = 2.0 + 1.1  # |o| + R along the center ray
         assert float(np.asarray(z).max()) <= exit_dist + 1e-4
+
+
+class TestMergeImpls:
+    """The three sorted-merge implementations must agree exactly."""
+
+    def _pairs(self, n=64, m=48, r=37, seed=0):
+        rng = np.random.default_rng(seed)
+        z_old = np.sort(rng.uniform(0, 4, (r, n)).astype(np.float32), -1)
+        z_new = np.sort(rng.uniform(0, 4, (r, m)).astype(np.float32), -1)
+        s_old = rng.normal(size=(r, n)).astype(np.float32)
+        s_new = rng.normal(size=(r, m)).astype(np.float32)
+        return tuple(jnp.asarray(a) for a in (z_old, s_old, z_new, s_new))
+
+    def test_bitonic_matches_sort(self):
+        from monosdf_tpu.ops.sampler import (
+            _merge_sorted_bitonic,
+            _merge_sorted_sort,
+        )
+
+        for nm in [(64, 48), (128, 128), (512, 128), (5, 3)]:
+            args = self._pairs(*nm)
+            z1, s1 = _merge_sorted_sort(*args)
+            z2, s2 = _merge_sorted_bitonic(*args)
+            np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+            # payload pairing must be preserved (keys are unique w.h.p.)
+            np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+    def test_full_sampler_same_output(self):
+        import dataclasses
+
+        from monosdf_tpu.ops.sampler import error_bound_z_vals
+
+        cfg = SamplerConfig(
+            scene_bounding_sphere=1.1, N_samples=16, N_samples_eval=24,
+            N_samples_extra=8, max_total_iters=3,
+        )
+        rng = np.random.default_rng(1)
+        n = 24
+        d = rng.normal(size=(n, 3))
+        d[:, 2] = np.abs(d[:, 2]) + 0.5
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        o = jnp.asarray(np.tile([[0.0, 0.0, -1.6]], (n, 1)), jnp.float32)
+        dirs = jnp.asarray(d, jnp.float32)
+        sdf_fn = lambda p: jnp.linalg.norm(p, axis=-1) - 0.5
+        beta0 = jnp.asarray(0.1)
+        key = jax.random.PRNGKey(0)
+        z1, e1 = error_bound_z_vals(sdf_fn, o, dirs, beta0, cfg, key, True)
+        cfg2 = dataclasses.replace(cfg, merge_impl="bitonic")
+        z2, e2 = error_bound_z_vals(sdf_fn, o, dirs, beta0, cfg2, key, True)
+        np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-6)
