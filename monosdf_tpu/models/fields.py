@@ -143,6 +143,11 @@ def sdf_value_pallas(
     assert not cfg.use_grid, "pallas fused MLP is for MLP-mode sweeps"
     inp = positional_encoding(x, cfg.multires)
     ws, bs = effective_linear_weights(params, cfg.num_layers)
+    # the sweeps read ONLY the SDF scalar: truncate the last layer to its
+    # first column so the kernel skips the 256 feature outputs (-2/3 of the
+    # final matmul after 128-lane padding)
+    ws[-1] = ws[-1][:, :1]
+    bs[-1] = bs[-1][:1]
     flat = inp.reshape(-1, inp.shape[-1])
     out = fused_sdf_mlp_nograd(ws, bs, flat, cfg.skip_in, dtype=dtype)
     sdf = out[:, :1].reshape(*x.shape[:-1], 1)

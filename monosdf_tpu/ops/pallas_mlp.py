@@ -79,7 +79,9 @@ def fused_sdf_mlp(
     d0p = _round_up(d0, _LANE)
     dims = [d0] + [w.shape[1] for w in weights]
 
-    # widths as seen by each matmul input (with skip concat)
+    # per-layer true/padded widths (a uniform max width would make every
+    # hidden matmul as wide as the skip-concat layer — 1.5x wasted MXU work,
+    # and 3x on the final layer when the caller only reads the SDF column)
     in_dims = []
     d = d0
     for l in range(n_layers):
@@ -87,15 +89,16 @@ def fused_sdf_mlp(
             d = dims[l] + d0  # concat with embedded input
         in_dims.append(d)
         d = dims[l + 1]
-    max_w = max(_round_up(max(in_dims + dims), _LANE), d0p)
+    in_pad = [_round_up(d, _LANE) for d in in_dims]
+    out_pad = [_round_up(dims[l + 1], _LANE) for l in range(n_layers)]
 
     wp = [
-        _pad_to(jnp.asarray(w, jnp.float32), _round_up(in_dims[l], _LANE), max_w)
+        _pad_to(jnp.asarray(w, jnp.float32), in_pad[l], out_pad[l])
         for l, w in enumerate(weights)
     ]
     bp = [
-        jnp.pad(jnp.asarray(b, jnp.float32), (0, max_w - b.shape[0]))[None]
-        for b in biases
+        jnp.pad(jnp.asarray(b, jnp.float32), (0, out_pad[l] - b.shape[0]))[None]
+        for l, b in enumerate(biases)
     ]
 
     N = x_embedded.shape[0]
@@ -114,9 +117,9 @@ def fused_sdf_mlp(
         width = d0
         for l in range(n_layers):
             if l in skip_set:
-                # concat [h, x0]/sqrt(2); re-pad to max_w lanes with zeros
+                # concat [h, x0]/sqrt(2); re-pad to the layer's input lanes
                 cat = jnp.concatenate([h[:, :width], x0[:, :d0]], axis=-1)
-                cat = jnp.pad(cat, ((0, 0), (0, max_w - width - d0)))
+                cat = jnp.pad(cat, ((0, 0), (0, in_pad[l] - width - d0)))
                 h = cat / sqrt2
                 width = width + d0
             wl = w_refs[l][:]
@@ -151,9 +154,9 @@ def fused_sdf_mlp(
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (block, max_w), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (block, out_pad[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, max_w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, out_pad[-1]), jnp.float32),
         interpret=interpret,
     )(x_p, *wp, *bp)
     return out[:N, : dims[-1]]
