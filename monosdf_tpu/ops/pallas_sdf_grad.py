@@ -202,7 +202,7 @@ def _fwd_pallas(ws, bs, inp, t0, skip_in: tuple, dtype, block: int,
 
         A0 = jnp.concatenate([inp_ref[:], t0_ref[:]], axis=0)
         A = A0
-        for l in range(L):
+        for l in range(L - 1):
             if l in skip_in:
                 A = jnp.concatenate(
                     [A[:, :out_true[l - 1]], A0[:, :d0]], axis=-1
@@ -212,17 +212,24 @@ def _fwd_pallas(ws, bs, inp, t0, skip_in: tuple, dtype, block: int,
                 A.astype(op_dtype), w_refs[l][:].astype(op_dtype),
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             ) + primal_row * b_refs[l][:]
-            if l < L - 1:
-                h, s = _gate100(Z[:b])
-                h = _mask_lanes(h, out_true[l])
-                T = jnp.concatenate([s, s, s], axis=0) * Z[b:]
-                A = jnp.concatenate([h, T], axis=0).astype(act_dtype)
-            else:
-                A = Z
-        o_ref[:] = A[:b]
+            h, s = _gate100(Z[:b])
+            h = _mask_lanes(h, out_true[l])
+            T = jnp.concatenate([s, s, s], axis=0) * Z[b:]
+            A = jnp.concatenate([h, T], axis=0).astype(act_dtype)
+        # last layer split: primal rows need the full (sdf + feature) width,
+        # tangent rows only column 0 — one lane-block suffices
+        wl = w_refs[L - 1][:]
+        Zp = jax.lax.dot_general(
+            A[:b].astype(op_dtype), wl.astype(op_dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ) + b_refs[L - 1][:]
+        Zt = jax.lax.dot_general(
+            A[b:].astype(op_dtype), wl[:, :_LANE].astype(op_dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        o_ref[:] = Zp
         gcols = jnp.concatenate(
-            [A[b:2 * b, 0:1], A[2 * b:3 * b, 0:1], A[3 * b:4 * b, 0:1]],
-            axis=1,
+            [Zt[0:b, 0:1], Zt[b:2 * b, 0:1], Zt[2 * b:3 * b, 0:1]], axis=1
         )
         g_ref[:] = jnp.pad(gcols, ((0, 0), (0, _LANE - 3)))
 
@@ -324,7 +331,7 @@ def _bwd_pallas(ws, bs, inp, t0, co, cg, skip_in: tuple, dtype, block: int,
         b_refs, rest = rest[:L], rest[L:]
         dw_refs, rest = rest[:L], rest[L:]
         db_refs, rest = rest[:L], rest[L:]
-        z_refs = rest[:L]
+        z_refs = rest[:L - 1]  # the last layer's Z is never read in reverse
 
         i = pl.program_id(0)
 
@@ -353,8 +360,11 @@ def _bwd_pallas(ws, bs, inp, t0, co, cg, skip_in: tuple, dtype, block: int,
         A0 = jnp.concatenate([inp_ref[:], t0_ref[:]], axis=0)  # (4b, d0p)
 
         # ---- forward recompute, storing pre-activation Z per layer --------
+        # (the LAST layer's Z is not needed by the reverse sweep: its
+        # cotangent comes straight from co/cg, and its matmul input is
+        # recomputed from z_refs[L-2] — so layer L-1 is skipped entirely)
         A = A0
-        for l in range(L):
+        for l in range(L - 1):
             if l in skip_in:
                 A = jnp.concatenate(
                     [A[:, :out_true[l - 1]], A0[:, :d0]], axis=-1
@@ -362,64 +372,80 @@ def _bwd_pallas(ws, bs, inp, t0, co, cg, skip_in: tuple, dtype, block: int,
                 A = jnp.pad(A, ((0, 0), (0, in_pad[l] - in_true[l])))
             Z = dot(A, w_refs[l][:]) + primal_row * b_refs[l][:]
             z_refs[l][:] = Z.astype(act_dtype)
-            if l < L - 1:
-                h, s = _gate100(Z[:b])
-                h = _mask_lanes(h, out_true[l])
-                T = jnp.concatenate([s, s, s], axis=0) * Z[b:]
-                A = jnp.concatenate([h, T], axis=0).astype(act_dtype)
+            h, s = _gate100(Z[:b])
+            h = _mask_lanes(h, out_true[l])
+            T = jnp.concatenate([s, s, s], axis=0) * Z[b:]
+            A = jnp.concatenate([h, T], axis=0).astype(act_dtype)
+
+        def a_in_of(l):
+            """The layer-l matmul input, recomputed from stored Z."""
+            if l == 0:
+                return A0
+            Zp = z_refs[l - 1][:].astype(jnp.float32)
+            hp, sp = _gate100(Zp[:b])
+            hp = _mask_lanes(hp, out_true[l - 1])
+            Tp = jnp.concatenate([sp, sp, sp], axis=0) * Zp[b:]
+            a = jnp.concatenate([hp, Tp], axis=0)
+            if l in skip_in:
+                a = jnp.concatenate(
+                    [a[:, :out_true[l - 1]], A0[:, :d0]], axis=-1
+                ) / sqrt2
+                a = jnp.pad(a, ((0, 0), (0, in_pad[l] - in_true[l])))
+            return a
+
+        def to_prev_ct(ct_Ain, l):
+            """Map d loss/d(layer-l input) to the previous layer's output
+            cotangent (undo skip concat scaling, re-pad lanes)."""
+            prev = out_true[l - 1]
+            ct_prev = ct_Ain[:, :prev]
+            if l in skip_in:
+                ct_prev = ct_prev / sqrt2
+            return jnp.pad(ct_prev, ((0, 0), (0, out_pad[l - 1] - prev)))
 
         # ---- reverse sweep -------------------------------------------------
-        # tangent-output cotangent: column 0 holds d loss / d grad_k
-        lane_last = jax.lax.broadcasted_iota(
-            jnp.int32, (3 * b, out_pad[-1]), 1
+        # Last layer, SPLIT: primal rows carry the full-width output
+        # cotangent (co); tangent rows' cotangent is nonzero only in column
+        # 0 (d loss / d grad_k), so one lane-block of the weight suffices.
+        wl = w_refs[L - 1][:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (3 * b, _LANE), 1)
+        CTt = jnp.where(lane == 0, cg_ref[:][:, :1], 0.0)  # (3b, 128)
+        CTp = co_ref[:]  # (b, out_pad[-1])
+        A_in = a_in_of(L - 1)
+        dw_last = dot_accum(A_in[:b], CTp)
+        dw_last_t = dot_accum(A_in[b:], CTt)
+        dw_refs[L - 1][:] += dw_last + jnp.pad(
+            dw_last_t, ((0, 0), (0, out_pad[-1] - _LANE))
         )
-        ct_T_last = jnp.where(lane_last == 0, cg_ref[:][:, :1], 0.0)
-        ct_A = jnp.concatenate([co_ref[:], ct_T_last], axis=0)  # (4b, out_pad[-1])
+        db_refs[L - 1][:] += jnp.sum(CTp, axis=0, keepdims=True)
+        ct_Ain = jnp.concatenate(
+            [dot(CTp, wl, transpose_w=True),
+             dot(CTt, wl[:, :_LANE], transpose_w=True)],
+            axis=0,
+        )
+        ct_A = to_prev_ct(ct_Ain, L - 1)
 
-        for l in range(L - 1, -1, -1):
+        for l in range(L - 2, -1, -1):
             Z = z_refs[l][:].astype(jnp.float32)
-            if l == L - 1:
-                CT = ct_A
-            else:
-                z, U = Z[:b], Z[b:]
-                _, s = _gate100(z)
-                s2 = 100.0 * s * (1.0 - s)
-                ct_h, ct_T = ct_A[:b], ct_A[b:]
-                ct_sum = (
-                    ct_T[0:b] * U[0:b]
-                    + ct_T[b:2 * b] * U[b:2 * b]
-                    + ct_T[2 * b:3 * b] * U[2 * b:3 * b]
-                )
-                ct_z = ct_h * s + ct_sum * s2
-                ct_U = jnp.concatenate([s, s, s], axis=0) * ct_T
-                CT = jnp.concatenate([ct_z, ct_U], axis=0)
+            z, U = Z[:b], Z[b:]
+            _, s = _gate100(z)
+            s2 = 100.0 * s * (1.0 - s)
+            ct_h, ct_T = ct_A[:b], ct_A[b:]
+            ct_sum = (
+                ct_T[0:b] * U[0:b]
+                + ct_T[b:2 * b] * U[b:2 * b]
+                + ct_T[2 * b:3 * b] * U[2 * b:3 * b]
+            )
+            ct_z = ct_h * s + ct_sum * s2
+            ct_U = jnp.concatenate([s, s, s], axis=0) * ct_T
+            CT = jnp.concatenate([ct_z, ct_U], axis=0)
 
-            # A_in recompute (the layer's matmul input)
-            if l == 0:
-                A_in = A0
-            else:
-                Zp = z_refs[l - 1][:].astype(jnp.float32)
-                hp, sp = _gate100(Zp[:b])
-                hp = _mask_lanes(hp, out_true[l - 1])
-                Tp = jnp.concatenate([sp, sp, sp], axis=0) * Zp[b:]
-                A_in = jnp.concatenate([hp, Tp], axis=0)
-                if l in skip_in:
-                    A_in = jnp.concatenate(
-                        [A_in[:, :out_true[l - 1]], A0[:, :d0]], axis=-1
-                    ) / sqrt2
-                    A_in = jnp.pad(A_in, ((0, 0), (0, in_pad[l] - in_true[l])))
-
+            A_in = a_in_of(l)
             dw_refs[l][:] += dot_accum(A_in, CT)
             db_refs[l][:] += jnp.sum(CT[:b], axis=0, keepdims=True)
 
             if l > 0:
                 ct_Ain = dot(CT, w_refs[l][:], transpose_w=True)  # (4b, in_pad[l])
-                prev = out_true[l - 1]
-                if l in skip_in:
-                    ct_prev = ct_Ain[:, :prev] / sqrt2
-                else:
-                    ct_prev = ct_Ain[:, :prev]
-                ct_A = jnp.pad(ct_prev, ((0, 0), (0, out_pad[l - 1] - prev)))
+                ct_A = to_prev_ct(ct_Ain, l)
 
     grid = (n_pad // b,)
     in_specs = [
@@ -446,7 +472,7 @@ def _bwd_pallas(ws, bs, inp, t0, co, cg, skip_in: tuple, dtype, block: int,
         jax.ShapeDtypeStruct(bp[l].shape, jnp.float32) for l in range(L)
     ]
     scratch_shapes = [
-        pltpu.VMEM((4 * b, out_pad[l]), act_dtype) for l in range(L)
+        pltpu.VMEM((4 * b, out_pad[l]), act_dtype) for l in range(L - 1)
     ]
 
     outs = pl.pallas_call(
