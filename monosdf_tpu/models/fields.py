@@ -141,6 +141,11 @@ def sdf_value_pallas(
     from ..ops.pallas_mlp import effective_linear_weights, fused_sdf_mlp_nograd
 
     assert not cfg.use_grid, "pallas fused MLP is for MLP-mode sweeps"
+    # PE stays on the XLA side here: the sweep kernel has too little matmul
+    # work per block to amortize full-lane-width in-kernel trig (measured
+    # -14% step throughput with multires= in-kernel PE; the diff kernel in
+    # pallas_sdf_grad.py amortizes the same trig over 4 stacked row-blocks
+    # and wins).
     inp = positional_encoding(x, cfg.multires)
     ws, bs = effective_linear_weights(params, cfg.num_layers)
     # the sweeps read ONLY the SDF scalar: truncate the last layer to its
@@ -177,23 +182,13 @@ def sdf_feat_grad(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray, dtype=No
     return out[..., :1], out[..., 1:], grads
 
 
-def _pe_with_basis_tangents(x: jnp.ndarray, multires: int):
-    """PE(x) plus the three basis-direction tangents of the embedding,
-    stacked (3N, d0) in [k0; k1; k2] row order."""
-    f = lambda xx: positional_encoding(xx, multires)
-    inp = f(x)
-    basis = jnp.eye(3, dtype=x.dtype)
-    tangents = [
-        jax.jvp(f, (x,), (jnp.broadcast_to(b, x.shape),))[1] for b in basis
-    ]
-    return inp, jnp.concatenate(tangents, axis=0)
-
-
 def sdf_feat_grad_pallas(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray,
-                         dtype=None, block: int = 128):
-    """sdf_feat_grad with the Pallas hand-written backward
-    (ops/pallas_sdf_grad.py): forward is one stacked primal+tangent XLA pass;
-    the VJP recomputes and reverses entirely in VMEM. MLP-mode only.
+                         dtype=None, block: int = 512):
+    """sdf_feat_grad with fully-fused Pallas kernels
+    (ops/pallas_sdf_grad.py): the positional encoding, its basis tangents,
+    and the stacked primal+tangent MLP run in one VMEM-resident forward that
+    streams pre-activations; the hand-written VJP reads them back and
+    reverses without recompute. MLP-mode only.
 
     Semantics match sdf_feat_grad (incl. the bounding-sphere clamp on both
     the value and its spatial gradient); parameter gradients only — sample
@@ -204,11 +199,11 @@ def sdf_feat_grad_pallas(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray,
     assert not cfg.use_grid, "pallas diff path is for MLP mode"
     prefix = x.shape[:-1]
     xf = x.reshape(-1, 3)
-    inp, t0 = _pe_with_basis_tangents(xf, cfg.multires)
     ws, bs = effective_linear_weights(params, cfg.num_layers)
     dtype_name = jnp.dtype(dtype).name if dtype is not None else ""
     out, grad = sdf_mlp_with_grad(
-        tuple(ws), tuple(bs), inp, t0, tuple(cfg.skip_in), dtype_name, block
+        tuple(ws), tuple(bs), xf, cfg.multires, tuple(cfg.skip_in),
+        dtype_name, block
     )
     sdf_raw, feat = out[:, :1], out[:, 1:]
     if cfg.sdf_bounding_sphere > 0.0:
@@ -228,7 +223,7 @@ def sdf_feat_grad_pallas(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray,
 
 
 def sdf_gradient_pallas(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray,
-                        dtype=None, block: int = 128) -> jnp.ndarray:
+                        dtype=None, block: int = 512) -> jnp.ndarray:
     """sdf_gradient (UNclamped, reference network.py:98-109) via the fused
     Pallas-backward path. MLP-mode only."""
     from ..ops.pallas_mlp import effective_linear_weights
@@ -237,11 +232,11 @@ def sdf_gradient_pallas(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray,
     assert not cfg.use_grid, "pallas diff path is for MLP mode"
     prefix = x.shape[:-1]
     xf = x.reshape(-1, 3)
-    inp, t0 = _pe_with_basis_tangents(xf, cfg.multires)
     ws, bs = effective_linear_weights(params, cfg.num_layers)
     dtype_name = jnp.dtype(dtype).name if dtype is not None else ""
     _, grad = sdf_mlp_with_grad(
-        tuple(ws), tuple(bs), inp, t0, tuple(cfg.skip_in), dtype_name, block
+        tuple(ws), tuple(bs), xf, cfg.multires, tuple(cfg.skip_in),
+        dtype_name, block
     )
     return grad.reshape(*prefix, 3)
 

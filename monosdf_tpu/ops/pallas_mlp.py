@@ -48,6 +48,72 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def pe_consts(multires: int, d0p: int):
+    """Constant operands for computing the positional encoding (and its three
+    basis-direction tangents) INSIDE a kernel from raw xyz lanes.
+
+    Feeding kernels raw points instead of precomputed embeddings removes the
+    (N, d0p) [and (3N, d0p) tangent] HBM round-trips plus the XLA-side trig /
+    relayout work; in-kernel the encoding is one MXU op + one sin/cos pair.
+
+    Returns (G, coefs):
+    * ``G`` (LANE, d0p) f32: ``xs = x_pad @ G`` replicates each coordinate
+      into its sin/cos lanes pre-scaled by the frequency. Scales are powers
+      of two, so the products are EXACT in f32 (same mantissa) even through
+      the MXU's split-float passes — use precision=HIGHEST.
+    * ``coefs`` (16, d0p) f32 assembly rows (zero on pad lanes):
+        emb = coefs[0]*xs + coefs[1]*sin(xs) + coefs[2]*cos(xs)
+        t_k = coefs[3+3k] + coefs[4+3k]*cos(xs) + coefs[5+3k]*sin(xs)
+      matching ops/embedder.py's layout [x, sin(2^0 x), cos(2^0 x), ...] and
+      its per-coordinate derivative (d sin(fx)/dx = f cos(fx), etc.).
+    """
+    G = np.zeros((_LANE, d0p), np.float32)
+    coefs = np.zeros((16, d0p), np.float32)
+    for d in range(3):
+        G[d, d] = 1.0
+        coefs[0, d] = 1.0  # emb raw lane passes xs through
+        coefs[3 + 3 * d, d] = 1.0  # t_d raw lane constant
+    for f in range(multires):
+        fr = float(2.0**f)
+        for part in range(2):  # 0 = sin block, 1 = cos block
+            for d in range(3):
+                lane = 3 + 6 * f + 3 * part + d
+                G[d, lane] = fr
+                if part == 0:
+                    coefs[1, lane] = 1.0  # emb sin mask
+                    coefs[4 + 3 * d, lane] = fr  # t_d: +f*cos on sin lanes
+                else:
+                    coefs[2, lane] = 1.0  # emb cos mask
+                    coefs[5 + 3 * d, lane] = -fr  # t_d: -f*sin on cos lanes
+    # numpy in, jnp out per call: caching jnp arrays would leak tracers
+    return jnp.asarray(G), jnp.asarray(coefs)
+
+
+def kernel_pe(x_blk, G, coefs, tangents: bool):
+    """In-kernel positional encoding from raw-xyz lanes.
+
+    x_blk (b, LANE) with lanes 0-2 = xyz; returns emb (b, d0p) or, with
+    ``tangents``, (emb, [t0, t1, t2]) — the embedding's basis-direction
+    tangents (each (b, d0p))."""
+    xs = jax.lax.dot_general(
+        x_blk, G, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    s = jnp.sin(xs)
+    c = jnp.cos(xs)
+    emb = coefs[0:1] * xs + coefs[1:2] * s + coefs[2:3] * c
+    if not tangents:
+        return emb
+    ts = [
+        coefs[3 + 3 * k : 4 + 3 * k]
+        + coefs[4 + 3 * k : 5 + 3 * k] * c
+        + coefs[5 + 3 * k : 6 + 3 * k] * s
+        for k in range(3)
+    ]
+    return emb, ts
+
+
 def fused_sdf_mlp(
     weights: list,
     biases: list,
@@ -56,14 +122,17 @@ def fused_sdf_mlp(
     block: int = 512,
     interpret: bool | None = None,
     dtype=None,
+    multires: int | None = None,
 ) -> jnp.ndarray:
-    """Run the SDF MLP on embedded inputs.
+    """Run the SDF MLP on embedded inputs (or raw points).
 
     weights[l]: (d_l, d_{l+1}) EFFECTIVE weights (weight-norm already
     applied); biases[l]: (d_{l+1},). x_embedded: (N, d_0) the PE(+grid)
-    features. skip_in: layer indices where the input is re-concatenated
-    (reference network.py:88-89). Returns (N, d_last) — caller slices
-    sdf/features.
+    features — or, with ``multires`` set, raw (N, 3) points whose positional
+    encoding is computed IN-KERNEL (pe_consts/kernel_pe; saves the (N, d0p)
+    embedding HBM round-trip and the XLA-side trig). skip_in: layer indices
+    where the input is re-concatenated (reference network.py:88-89).
+    Returns (N, d_last) — caller slices sdf/features.
 
     All activations up to the last layer get softplus(beta=100); the last
     layer is linear (reference network.py:79-96).
@@ -75,7 +144,7 @@ def fused_sdf_mlp(
         interpret = jax.devices()[0].platform == "cpu"
 
     n_layers = len(weights)
-    d0 = x_embedded.shape[-1]
+    d0 = 3 * (1 + 2 * multires) if multires is not None else x_embedded.shape[-1]
     d0p = _round_up(d0, _LANE)
     dims = [d0] + [w.shape[1] for w in weights]
 
@@ -103,16 +172,32 @@ def fused_sdf_mlp(
 
     N = x_embedded.shape[0]
     n_pad = _round_up(max(N, 1), block)
-    x_p = jnp.pad(x_embedded.astype(jnp.float32), ((0, n_pad - N), (0, d0p - d0)))
+    if multires is not None:
+        x_p = jnp.pad(
+            x_embedded.astype(jnp.float32), ((0, n_pad - N), (0, _LANE - 3))
+        )
+        G, coefs = pe_consts(multires, d0p)
+        pe_ops = [G, coefs]
+    else:
+        x_p = jnp.pad(
+            x_embedded.astype(jnp.float32), ((0, n_pad - N), (0, d0p - d0))
+        )
+        pe_ops = []
 
     sqrt2 = math.sqrt(2.0)
     skip_set = tuple(skip_in)
+    n_pe = len(pe_ops)
 
     def kernel(x_ref, *refs):
+        pe_refs = refs[:n_pe]
+        refs = refs[n_pe:]
         w_refs = refs[:n_layers]
         b_refs = refs[n_layers : 2 * n_layers]
         out_ref = refs[2 * n_layers]
-        x0 = x_ref[:]  # (block, d0p)
+        if multires is not None:
+            x0 = kernel_pe(x_ref[:], pe_refs[0][:], pe_refs[1][:], tangents=False)
+        else:
+            x0 = x_ref[:]  # (block, d0p)
         h = x0
         width = d0
         for l in range(n_layers):
@@ -132,14 +217,25 @@ def fused_sdf_mlp(
             if l < n_layers - 1:
                 acc = _softplus100(acc)
             # zero the padded lanes so later skips/matmuls stay exact
-            lane_idx = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
-            h = jnp.where(lane_idx < width, acc, 0.0)
+            # (identity when the layer fills its padded width)
+            if width == acc.shape[1]:
+                h = acc
+            else:
+                lane_idx = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+                h = jnp.where(lane_idx < width, acc, 0.0)
         out_ref[:] = h
 
     grid = (n_pad // block,)
     in_specs = [
-        pl.BlockSpec((block, d0p), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec(
+            (block, _LANE if multires is not None else d0p),
+            lambda i: (i, 0), memory_space=pltpu.VMEM,
+        )
     ]
+    for op in pe_ops:
+        in_specs.append(
+            pl.BlockSpec(op.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
     for w in wp:
         in_specs.append(
             pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -157,8 +253,11 @@ def fused_sdf_mlp(
             (block, out_pad[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, out_pad[-1]), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
-    )(x_p, *wp, *bp)
+    )(x_p, *pe_ops, *wp, *bp)
     return out[:N, : dims[-1]]
 
 
@@ -169,6 +268,7 @@ def fused_sdf_mlp_nograd(
     skip_in: tuple,
     block: int = 512,
     dtype=None,
+    multires: int | None = None,
 ) -> jnp.ndarray:
     """AD-opaque fused MLP: pallas_call has no JVP rule, and the sampler
     caller stop-gradients the result anyway — declare a zero tangent so the
@@ -176,7 +276,9 @@ def fused_sdf_mlp_nograd(
 
     @jax.custom_jvp
     def f(ws, bs, x):
-        return fused_sdf_mlp(ws, bs, x, skip_in, block=block, dtype=dtype)
+        return fused_sdf_mlp(
+            ws, bs, x, skip_in, block=block, dtype=dtype, multires=multires
+        )
 
     @f.defjvp
     def f_jvp(primals, tangents):

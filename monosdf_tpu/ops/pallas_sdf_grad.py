@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: hand-written backward for the differentiated SDF path.
+"""Pallas TPU kernels: the differentiated SDF path (value + spatial grad).
 
 This is the TPU-native analog of the reference's hand-written CUDA
 double-backward (code/hashencoder/src/hashencoder.cu:375-595) applied to the
@@ -10,16 +10,21 @@ the second-derivative (softplus'') coupling between them.
 XLA's autodiff of this reverse-over-forward graph is correct but
 HBM-bound: it saves ~20 (N, 256) activation temps and streams them back
 during the backward (measured 20.5 ms of a 39 ms step at 1024 rays).
-This kernel instead RECOMPUTES the forward inside VMEM per 128-point block
-and runs the full reverse sweep without any intermediate ever touching HBM;
-only the inputs, output cotangents, and the (tiny) weight-gradient
-accumulators cross the memory boundary.
+These kernels keep everything in VMEM:
+
+* The FORWARD takes raw xyz points and computes the positional encoding and
+  its three basis tangents in-kernel (ops/pallas_mlp.py pe_consts /
+  kernel_pe): one MXU op + a sin/cos pair replaces the XLA-side embedding's
+  (4N, d0p) HBM round-trip and relayouts.
+* With ``save_z`` the forward also streams each layer's pre-activation Z to
+  HBM (bf16), so the BACKWARD reads them back instead of recomputing the
+  forward — 2 MXU calls per layer instead of 3 (the DMA pipelines with
+  compute; recompute did not).
 
 Structure trick: the primal row-block (b, d) and the three stacked tangent
 row-blocks (3b, d) share every matmul, so each layer's backward is exactly
-three MXU calls on (4b, d) operands:
+two MXU calls on (4b, d) operands:
 
-    Z   = A @ W           (forward recompute; primal rows get +bias)
     dW += A^T @ CT        (weight grad, f32 accumulated across grid steps)
     ct  = CT @ W^T        (cotangent propagation)
 
@@ -46,6 +51,8 @@ import math
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from .pallas_mlp import kernel_pe, pe_consts
 
 _LANE = 128
 
@@ -79,6 +86,8 @@ def _gate100(z):
 
 
 def _mask_lanes(v, width: int):
+    if width == v.shape[1]:  # no pad lanes -> identity (skip the select)
+        return v
     lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
     return jnp.where(lane < width, v, 0.0)
 
@@ -95,70 +104,48 @@ def _layer_dims(ws, skip_in, d0: int):
 
 
 # ---------------------------------------------------------------------------
-# Stacked forward (primal + 3 tangents) — pure jnp; custom_vjp primal
+# Shared kernel pieces
 # ---------------------------------------------------------------------------
 
-def stacked_forward(ws, bs, inp, t0, skip_in: tuple, dtype=None):
-    """Primal + stacked-basis-tangent forward of the SDF MLP.
+def _pad_params(ws, bs, in_true, out_true, in_pad, out_pad):
+    wp = [
+        jnp.pad(ws[l].astype(jnp.float32),
+                ((0, in_pad[l] - in_true[l]), (0, out_pad[l] - out_true[l])))
+        for l in range(len(ws))
+    ]
+    bp = [
+        jnp.pad(bs[l].astype(jnp.float32), (0, out_pad[l] - out_true[l]))[None]
+        for l in range(len(bs))
+    ]
+    return wp, bp
 
-    inp (N, d0) embedded points; t0 (3N, d0) the three basis tangents of the
-    embedding stacked along rows ([k=0 block; k=1; k=2]). Returns
-    (out (N, d_last), grad (N, 3)) where grad[:, k] = d out[:, 0] / d x_k.
 
-    Numerics mirror nn.apply_linear's mixed mode: with ``dtype`` the matmul
-    operands are cast down, accumulation is f32, and inter-layer activations
-    are rounded to ``dtype``; the final layer emits f32.
-    """
-    N = inp.shape[0]
-    sqrt2 = math.sqrt(2.0)
-    L = len(ws)
-    h, T = inp, t0
-    for l in range(L):
-        if l in skip_in:
-            h = jnp.concatenate([h, inp.astype(h.dtype)], axis=-1) / sqrt2
-            T = jnp.concatenate([T, t0.astype(T.dtype)], axis=-1) / sqrt2
-        w = ws[l]
-        if dtype is not None:
-            hw = jax.lax.dot_general(
-                h.astype(dtype), w.astype(dtype), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            Tw = jax.lax.dot_general(
-                T.astype(dtype), w.astype(dtype), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        else:
-            hw, Tw = h @ w, T @ w
-        z = hw + bs[l]
-        if l < L - 1:
-            s = jax.nn.sigmoid(100.0 * z)
-            h = _softplus100(z)
-            T = jnp.concatenate([s, s, s], axis=0) * Tw
-            if dtype is not None:
-                h, T = h.astype(dtype), T.astype(dtype)
-        else:
-            h, T = z, Tw
-    out = h.astype(jnp.float32)
-    grad = jnp.transpose(T[:, 0].astype(jnp.float32).reshape(3, N))
-    return out, grad
+def _a0_from_x(x_ref, G_ref, c_ref):
+    """(4b, d0p) stacked [emb; t0; t1; t2] from a raw-xyz block."""
+    emb, ts = kernel_pe(x_ref[:], G_ref[:], c_ref[:], tangents=True)
+    return jnp.concatenate([emb] + ts, axis=0)
 
 
 # ---------------------------------------------------------------------------
-# Pallas forward kernel (primal + stacked tangents, no residuals)
+# Pallas forward kernel (primal + stacked tangents; optional Z residuals)
 # ---------------------------------------------------------------------------
 
-def _fwd_pallas(ws, bs, inp, t0, skip_in: tuple, dtype, block: int,
-                interpret: bool | None):
-    """(out (N, d_last), grad (N, 3)): same math as ``stacked_forward`` but
-    one VMEM-resident kernel — XLA's lowering of the stacked-tangent forward
-    is HBM-bound (measured 23 TFLOP/s vs 110 in-kernel)."""
+def _fwd_pallas(ws, bs, x, skip_in: tuple, multires: int, dtype, block: int,
+                interpret: bool | None, save_z: bool):
+    """(out (N, d_last), grad (N, 3))[, zs]: the stacked primal+tangent
+    forward as one VMEM-resident kernel over raw points x (N, 3).
+
+    With ``save_z``, each hidden layer's pre-activation Z (4b-row stacked,
+    act dtype) is streamed to HBM for the backward to reuse: zs[l] has shape
+    (4*n_pad, out_pad[l]) with block i owning rows [4b*i, 4b*(i+1))."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
 
-    N, d0 = inp.shape
+    N = x.shape[0]
+    d0 = 3 * (1 + 2 * multires)
     L = len(ws)
     in_true, out_true, in_pad, out_pad = _layer_dims(ws, skip_in, d0)
     d0p = _r128(d0)
@@ -169,38 +156,21 @@ def _fwd_pallas(ws, bs, inp, t0, skip_in: tuple, dtype, block: int,
     b = block
     n_pad = -(-max(N, 1) // b) * b
 
-    wp = [
-        jnp.pad(ws[l].astype(jnp.float32),
-                ((0, in_pad[l] - in_true[l]), (0, out_pad[l] - out_true[l])))
-        for l in range(L)
-    ]
-    bp = [
-        jnp.pad(bs[l].astype(jnp.float32), (0, out_pad[l] - out_true[l]))[None]
-        for l in range(L)
-    ]
-    inp_p = jnp.pad(inp.astype(jnp.float32), ((0, n_pad - N), (0, d0p - d0)))
-    groups = [
-        jnp.pad(t0[k * N:(k + 1) * N].astype(jnp.float32),
-                ((0, n_pad - N), (0, d0p - d0)))
-        for k in range(3)
-    ]
-    t0_p = (
-        jnp.stack(groups, axis=0)
-        .reshape(3, n_pad // b, b, d0p)
-        .transpose(1, 0, 2, 3)
-        .reshape(3 * n_pad, d0p)
-    )
+    wp, bp = _pad_params(ws, bs, in_true, out_true, in_pad, out_pad)
+    x_p = jnp.pad(x.astype(jnp.float32), ((0, n_pad - N), (0, _LANE - 3)))
+    G, coefs = pe_consts(multires, d0p)
 
     def kernel(*refs):
-        inp_ref, t0_ref = refs[:2]
-        w_refs = refs[2:2 + L]
-        b_refs = refs[2 + L:2 + 2 * L]
-        o_ref, g_ref = refs[2 + 2 * L], refs[3 + 2 * L]
+        x_ref, G_ref, c_ref = refs[:3]
+        w_refs = refs[3:3 + L]
+        b_refs = refs[3 + L:3 + 2 * L]
+        o_ref, g_ref = refs[3 + 2 * L], refs[4 + 2 * L]
+        z_refs = refs[5 + 2 * L:]
 
         row = jax.lax.broadcasted_iota(jnp.int32, (4 * b, 1), 0)
         primal_row = (row < b).astype(jnp.float32)
 
-        A0 = jnp.concatenate([inp_ref[:], t0_ref[:]], axis=0)
+        A0 = _a0_from_x(x_ref, G_ref, c_ref)
         A = A0
         for l in range(L - 1):
             if l in skip_in:
@@ -212,6 +182,8 @@ def _fwd_pallas(ws, bs, inp, t0, skip_in: tuple, dtype, block: int,
                 A.astype(op_dtype), w_refs[l][:].astype(op_dtype),
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             ) + primal_row * b_refs[l][:]
+            if save_z:
+                z_refs[l][:] = Z.astype(act_dtype)
             h, s = _gate100(Z[:b])
             h = _mask_lanes(h, out_true[l])
             T = jnp.concatenate([s, s, s], axis=0) * Z[b:]
@@ -235,8 +207,9 @@ def _fwd_pallas(ws, bs, inp, t0, skip_in: tuple, dtype, block: int,
 
     grid = (n_pad // b,)
     in_specs = [
-        pl.BlockSpec((b, d0p), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3 * b, d0p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(G.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(coefs.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     for l in range(L):
         in_specs.append(pl.BlockSpec(wp[l].shape, lambda i: (0, 0),
@@ -245,35 +218,54 @@ def _fwd_pallas(ws, bs, inp, t0, skip_in: tuple, dtype, block: int,
         in_specs.append(pl.BlockSpec(bp[l].shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
 
-    o, g = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((b, out_pad[-1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_pad, out_pad[-1]), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, _LANE), jnp.float32),
+    ]
+    if save_z:
+        for l in range(L - 1):
+            out_specs.append(pl.BlockSpec(
+                (4 * b, out_pad[l]), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ))
+            out_shape.append(
+                jax.ShapeDtypeStruct((4 * n_pad, out_pad[l]), act_dtype)
+            )
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((b, out_pad[-1]), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, _LANE), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, out_pad[-1]), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, _LANE), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
-    )(inp_p, t0_p, *wp, *bp)
-    return o[:N, : out_true[-1]], g[:N, :3]
+    )(x_p, G, coefs, *wp, *bp)
+    o, g = outs[0][:N, : out_true[-1]], outs[1][:N, :3]
+    if save_z:
+        return o, g, list(outs[2:])
+    return o, g
 
 
 # ---------------------------------------------------------------------------
 # Pallas backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_pallas(ws, bs, inp, t0, co, cg, skip_in: tuple, dtype, block: int,
-                interpret: bool | None):
+def _bwd_pallas(ws, bs, x, zs, co, cg, skip_in: tuple, multires: int, dtype,
+                block: int, interpret: bool | None):
     """Hand-written VJP: returns (dws, dbs) at true shapes.
 
+    x (N, 3) raw points; zs: the forward's per-layer pre-activations
+    ((4*n_pad, out_pad[l]) act dtype) or None to recompute them in-kernel;
     co (N, d_last) cotangent of the primal output; cg (3N, 1) cotangent of
-    the stacked tangent outputs' column 0 (i.e. d loss / d grad, stacked).
+    the stacked tangent outputs' column 0 (i.e. d loss / d grad, stacked
+    [k0 rows; k1; k2] globally).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -281,7 +273,8 @@ def _bwd_pallas(ws, bs, inp, t0, co, cg, skip_in: tuple, dtype, block: int,
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
 
-    N, d0 = inp.shape
+    N = x.shape[0]
+    d0 = 3 * (1 + 2 * multires)
     L = len(ws)
     in_true, out_true, in_pad, out_pad = _layer_dims(ws, skip_in, d0)
     d0p = _r128(d0)
@@ -291,47 +284,44 @@ def _bwd_pallas(ws, bs, inp, t0, co, cg, skip_in: tuple, dtype, block: int,
 
     b = block
     n_pad = -(-max(N, 1) // b) * b
+    recompute = zs is None
 
-    # padded, zero-filled operands (zero pad rows/cols keep all math exact)
-    wp = [
-        jnp.pad(ws[l].astype(jnp.float32),
-                ((0, in_pad[l] - in_true[l]), (0, out_pad[l] - out_true[l])))
-        for l in range(L)
-    ]
-    bp = [
-        jnp.pad(bs[l].astype(jnp.float32), (0, out_pad[l] - out_true[l]))[None]
-        for l in range(L)
-    ]
-    inp_p = jnp.pad(inp.astype(jnp.float32), ((0, n_pad - N), (0, d0p - d0)))
+    wp, bp = _pad_params(ws, bs, in_true, out_true, in_pad, out_pad)
+    x_p = jnp.pad(x.astype(jnp.float32), ((0, n_pad - N), (0, _LANE - 3)))
+    G, coefs = pe_consts(multires, d0p)
 
-    def blocked3(x, pad_cols: int):
-        """Globally-stacked (3N, d) -> block-interleaved (3*n_pad, d) so that
-        grid block i's (3b) rows are [k0 rows i*b:(i+1)*b; k1 same; k2 same]."""
-        groups = [
-            jnp.pad(x[k * N:(k + 1) * N].astype(jnp.float32),
-                    ((0, n_pad - N), (0, pad_cols)))
-            for k in range(3)
-        ]
-        s = jnp.stack(groups, axis=0)  # (3, n_pad, d)
-        d = s.shape[-1]
-        return (
-            s.reshape(3, n_pad // b, b, d)
-            .transpose(1, 0, 2, 3)
-            .reshape(3 * n_pad, d)
-        )
-
-    t0_p = blocked3(t0, d0p - d0)
-    co_p = jnp.pad(co.astype(jnp.float32),
+    # cotangents cross HBM at the kernel's operand dtype: they are cast to
+    # it for every in-kernel matmul anyway, so only the (tiny) db sums see
+    # the rounding
+    co_p = jnp.pad(co.astype(act_dtype),
                    ((0, n_pad - N), (0, out_pad[-1] - co.shape[1])))
-    cg_p = blocked3(cg, _LANE - cg.shape[1])
+    # globally-stacked (3N, 1) -> block-interleaved (3*n_pad, 1) so that
+    # grid block i's (3b) rows are [k0 rows i*b:(i+1)*b; k1 same; k2 same].
+    # Kept at ONE lane: padding this to 128 lanes cost a 154 MB HBM
+    # round-trip for a single useful column.
+    groups = [
+        jnp.pad(cg[k * N:(k + 1) * N].astype(act_dtype), ((0, n_pad - N), (0, 0)))
+        for k in range(3)
+    ]
+    cg_p = (
+        jnp.stack(groups, axis=0)
+        .reshape(3, n_pad // b, b, 1)
+        .transpose(1, 0, 2, 3)
+        .reshape(3 * n_pad, 1)
+    )
 
     def kernel(*refs):
-        (inp_ref, t0_ref, co_ref, cg_ref), rest = refs[:4], refs[4:]
+        (x_ref, G_ref, c_ref, co_ref, cg_ref), rest = refs[:5], refs[5:]
         w_refs, rest = rest[:L], rest[L:]
         b_refs, rest = rest[:L], rest[L:]
+        if not recompute:
+            zin_refs, rest = rest[:L - 1], rest[L - 1:]
         dw_refs, rest = rest[:L], rest[L:]
         db_refs, rest = rest[:L], rest[L:]
-        z_refs = rest[:L - 1]  # the last layer's Z is never read in reverse
+        if recompute:
+            z_refs = rest[:L - 1]  # VMEM scratch
+        else:
+            z_refs = zin_refs
 
         i = pl.program_id(0)
 
@@ -357,25 +347,26 @@ def _bwd_pallas(ws, bs, inp, t0, co, cg, skip_in: tuple, dtype, block: int,
         row = jax.lax.broadcasted_iota(jnp.int32, (4 * b, 1), 0)
         primal_row = (row < b).astype(jnp.float32)  # bias only on primal rows
 
-        A0 = jnp.concatenate([inp_ref[:], t0_ref[:]], axis=0)  # (4b, d0p)
+        A0 = _a0_from_x(x_ref, G_ref, c_ref)  # (4b, d0p)
 
-        # ---- forward recompute, storing pre-activation Z per layer --------
-        # (the LAST layer's Z is not needed by the reverse sweep: its
+        # ---- forward recompute (only when Z residuals weren't saved) ------
+        # (the LAST layer's Z is never needed by the reverse sweep: its
         # cotangent comes straight from co/cg, and its matmul input is
         # recomputed from z_refs[L-2] — so layer L-1 is skipped entirely)
-        A = A0
-        for l in range(L - 1):
-            if l in skip_in:
-                A = jnp.concatenate(
-                    [A[:, :out_true[l - 1]], A0[:, :d0]], axis=-1
-                ) / sqrt2
-                A = jnp.pad(A, ((0, 0), (0, in_pad[l] - in_true[l])))
-            Z = dot(A, w_refs[l][:]) + primal_row * b_refs[l][:]
-            z_refs[l][:] = Z.astype(act_dtype)
-            h, s = _gate100(Z[:b])
-            h = _mask_lanes(h, out_true[l])
-            T = jnp.concatenate([s, s, s], axis=0) * Z[b:]
-            A = jnp.concatenate([h, T], axis=0).astype(act_dtype)
+        if recompute:
+            A = A0
+            for l in range(L - 1):
+                if l in skip_in:
+                    A = jnp.concatenate(
+                        [A[:, :out_true[l - 1]], A0[:, :d0]], axis=-1
+                    ) / sqrt2
+                    A = jnp.pad(A, ((0, 0), (0, in_pad[l] - in_true[l])))
+                Z = dot(A, w_refs[l][:]) + primal_row * b_refs[l][:]
+                z_refs[l][:] = Z.astype(act_dtype)
+                h, s = _gate100(Z[:b])
+                h = _mask_lanes(h, out_true[l])
+                T = jnp.concatenate([s, s, s], axis=0) * Z[b:]
+                A = jnp.concatenate([h, T], axis=0).astype(act_dtype)
 
         def a_in_of(l):
             """The layer-l matmul input, recomputed from stored Z."""
@@ -408,8 +399,8 @@ def _bwd_pallas(ws, bs, inp, t0, co, cg, skip_in: tuple, dtype, block: int,
         # 0 (d loss / d grad_k), so one lane-block of the weight suffices.
         wl = w_refs[L - 1][:]
         lane = jax.lax.broadcasted_iota(jnp.int32, (3 * b, _LANE), 1)
-        CTt = jnp.where(lane == 0, cg_ref[:][:, :1], 0.0)  # (3b, 128)
-        CTp = co_ref[:]  # (b, out_pad[-1])
+        CTt = jnp.where(lane == 0, cg_ref[:].astype(jnp.float32), 0.0)  # (3b, 128)
+        CTp = co_ref[:].astype(jnp.float32)  # (b, out_pad[-1])
         A_in = a_in_of(L - 1)
         dw_last = dot_accum(A_in[:b], CTp)
         dw_last_t = dot_accum(A_in[b:], CTt)
@@ -449,17 +440,27 @@ def _bwd_pallas(ws, bs, inp, t0, co, cg, skip_in: tuple, dtype, block: int,
 
     grid = (n_pad // b,)
     in_specs = [
-        pl.BlockSpec((b, d0p), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3 * b, d0p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(G.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(coefs.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((b, out_pad[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3 * b, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
+    operands = [x_p, G, coefs, co_p, cg_p]
     for l in range(L):
         in_specs.append(pl.BlockSpec(wp[l].shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
+    operands.extend(wp)
     for l in range(L):
         in_specs.append(pl.BlockSpec(bp[l].shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
+    operands.extend(bp)
+    if not recompute:
+        for l in range(L - 1):
+            in_specs.append(pl.BlockSpec(
+                (4 * b, out_pad[l]), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ))
+        operands.extend(zs)
 
     out_specs = [
         pl.BlockSpec(wp[l].shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -471,9 +472,11 @@ def _bwd_pallas(ws, bs, inp, t0, co, cg, skip_in: tuple, dtype, block: int,
     out_shape = [jax.ShapeDtypeStruct(wp[l].shape, jnp.float32) for l in range(L)] + [
         jax.ShapeDtypeStruct(bp[l].shape, jnp.float32) for l in range(L)
     ]
-    scratch_shapes = [
-        pltpu.VMEM((4 * b, out_pad[l]), act_dtype) for l in range(L - 1)
-    ]
+    scratch_shapes = (
+        [pltpu.VMEM((4 * b, out_pad[l]), act_dtype) for l in range(L - 1)]
+        if recompute
+        else []
+    )
 
     outs = pl.pallas_call(
         kernel,
@@ -482,8 +485,11 @@ def _bwd_pallas(ws, bs, inp, t0, co, cg, skip_in: tuple, dtype, block: int,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
-    )(inp_p, t0_p, co_p, cg_p, *wp, *bp)
+    )(*operands)
 
     dws = [outs[l][: in_true[l], : out_true[l]] for l in range(L)]
     dbs = [outs[L + l][0, : out_true[l]] for l in range(L)]
@@ -494,42 +500,52 @@ def _bwd_pallas(ws, bs, inp, t0, co, cg, skip_in: tuple, dtype, block: int,
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def sdf_mlp_with_grad(ws, bs, inp, t0, skip_in: tuple, dtype_name: str,
-                      block: int):
-    """(out, grad) of the SDF MLP with a Pallas hand-written backward.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def sdf_mlp_with_grad(ws, bs, x, multires: int, skip_in: tuple,
+                      dtype_name: str, block: int, save_z: bool = True):
+    """(out, grad) of the SDF MLP over raw points, Pallas fwd + backward.
 
     ws/bs: EFFECTIVE per-layer weights (tuple of (d_in, d_out)) and biases.
-    inp (N, d0) embedded points, t0 (3N, d0) stacked basis tangents of the
-    embedding. dtype_name: '' for f32, else e.g. 'bfloat16'.
+    x (N, 3) raw points — the positional encoding (multires) and its basis
+    tangents are computed in-kernel. dtype_name: '' for f32, else e.g.
+    'bfloat16'. save_z: stream pre-activations to HBM in the differentiated
+    forward so the backward skips its forward recompute.
 
-    The VJP produces parameter gradients only; inp/t0 cotangents are ZERO
+    The VJP produces parameter gradients only; the x cotangent is ZERO
     (sample points are stop-gradient'ed in every reference loss).
     """
     dtype = jnp.dtype(dtype_name) if dtype_name else None
-    return _fwd_pallas(list(ws), list(bs), inp, t0, skip_in, dtype, block, None)
+    return _fwd_pallas(list(ws), list(bs), x, skip_in, multires, dtype, block,
+                       None, save_z=False)
 
 
-def _fwd(ws, bs, inp, t0, skip_in, dtype_name, block):
-    out = sdf_mlp_with_grad(ws, bs, inp, t0, skip_in, dtype_name, block)
-    return out, (ws, bs, inp, t0)
-
-
-def _bwd(skip_in, dtype_name, block, res, cts):
-    ws, bs, inp, t0 = res
-    co, cgrad = cts  # (N, d_out), (N, 3)
-    N = inp.shape[0]
+def _fwd(ws, bs, x, multires, skip_in, dtype_name, block, save_z):
     dtype = jnp.dtype(dtype_name) if dtype_name else None
-    # (N, 3) -> stacked (3N, 1) matching t0's row blocks
+    if save_z:
+        o, g, zs = _fwd_pallas(list(ws), list(bs), x, skip_in, multires,
+                               dtype, block, None, save_z=True)
+    else:
+        o, g = _fwd_pallas(list(ws), list(bs), x, skip_in, multires, dtype,
+                           block, None, save_z=False)
+        zs = None
+    return (o, g), (ws, bs, x, zs)
+
+
+def _bwd(multires, skip_in, dtype_name, block, save_z, res, cts):
+    ws, bs, x, zs = res
+    co, cgrad = cts  # (N, d_out), (N, 3)
+    N = x.shape[0]
+    dtype = jnp.dtype(dtype_name) if dtype_name else None
+    # (N, 3) -> stacked (3N, 1) matching the tangent row blocks
     cg = jnp.transpose(cgrad).reshape(3 * N, 1)
     dws, dbs = _bwd_pallas(
-        list(ws), list(bs), inp, t0, co, cg, skip_in, dtype, block, None
+        list(ws), list(bs), x, zs, co, cg, skip_in, multires, dtype, block,
+        None,
     )
     return (
         tuple(dw.astype(w.dtype) for dw, w in zip(dws, ws)),
         tuple(db.astype(b_.dtype) for db, b_ in zip(dbs, bs)),
-        jnp.zeros_like(inp),
-        jnp.zeros_like(t0),
+        jnp.zeros_like(x),
     )
 
 

@@ -23,15 +23,15 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--blocks", default="128,256,512")
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--no_save_z", action="store_true",
+                    help="backward recomputes the forward instead of reading saved pre-activations")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from monosdf_tpu.models.fields import (
-        ImplicitNetConfig, init_implicit_net, _pe_with_basis_tangents,
-    )
+    from monosdf_tpu.models.fields import ImplicitNetConfig, init_implicit_net
     from monosdf_tpu.ops.pallas_mlp import effective_linear_weights
     from monosdf_tpu.ops.pallas_sdf_grad import sdf_mlp_with_grad
 
@@ -44,7 +44,6 @@ def main():
     x = jnp.asarray(rng.uniform(-1, 1, (args.n, 3)), jnp.float32)
     dtype_name = "" if args.f32 else "bfloat16"
 
-    inp, t0 = jax.jit(lambda xx: _pe_with_basis_tangents(xx, cfg.multires))(x)
     ws, bs = effective_linear_weights(params, cfg.num_layers)
     ws, bs = tuple(ws), tuple(bs)
 
@@ -57,26 +56,30 @@ def main():
         _ = float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
         return (time.perf_counter() - t0_) / args.iters * 1e3
 
+    save_z = not args.no_save_z
     for b in [int(s) for s in args.blocks.split(",")]:
         fwd = jax.jit(
-            lambda ws, bs, inp, t0, b=b: sdf_mlp_with_grad(
-                ws, bs, inp, t0, tuple(cfg.skip_in), dtype_name, b
+            lambda ws, bs, x, b=b: sdf_mlp_with_grad(
+                ws, bs, x, cfg.multires, tuple(cfg.skip_in), dtype_name, b,
+                save_z,
             )
         )
 
-        def loss(ws, bs, inp, t0, b=b):
+        def loss(ws, bs, x, b=b):
             o, g = sdf_mlp_with_grad(
-                ws, bs, inp, t0, tuple(cfg.skip_in), dtype_name, b
+                ws, bs, x, cfg.multires, tuple(cfg.skip_in), dtype_name, b,
+                save_z,
             )
             return jnp.sum(o[:, 0] ** 2) + jnp.sum(g**2)
 
         fb = jax.jit(jax.grad(loss, argnums=(0, 1)))
-        ms_f = timed(fwd, ws, bs, inp, t0)
-        ms_fb = timed(fb, ws, bs, inp, t0)
+        ms_f = timed(fwd, ws, bs, x)
+        ms_fb = timed(fb, ws, bs, x)
         # stacked fwd = 4 rows x L layers x 256^2 MACs; bwd ~ 3x fwd
         gflop_f = args.n * 4 * 8 * 256 * 256 * 2 / 1e9
         print(json.dumps({
             "block": b, "n": args.n, "dtype": dtype_name or "float32",
+            "save_z": save_z,
             "fwd_ms": round(ms_f, 2), "fwd_bwd_ms": round(ms_fb, 2),
             "fwd_tflops": round(gflop_f / ms_f, 1),
             "fwd_bwd_tflops": round(4 * gflop_f / ms_fb, 1),
