@@ -212,17 +212,39 @@ def _onehot_gather2(a: jnp.ndarray, b: jnp.ndarray, idx: jnp.ndarray):
 def _sample_pdf(bins: jnp.ndarray, pdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """Inverse-CDF sampling (reference ray_sampler.py:191-228).
 
-    bins (R,N) sorted, pdf (R,N-1) unnormalized, u (R,M) in [0,1)."""
+    bins (R,N) sorted, pdf (R,N-1) unnormalized, u (R,M) in [0,1].
+
+    The reference does searchsorted + two gathers. Here the interval
+    containing each u is located DIRECTLY as a 0/1 membership mask
+    ``cdf[n] <= u < cdf[n+1]`` (+inf-padded tail, so u >= cdf[-1] lands on
+    the last interval exactly like the reference's index clamps), and one
+    MXU contraction of that mask against the 4-channel payload
+    [cdf_below, bins_below, cdf_above, bins_above] produces all four gathered
+    values. Bitwise identical to searchsorted+gather (the mask is exactly
+    one-hot; products are value*1.0/value*0.0 at HIGHEST precision) while
+    touching the (R,M,N) intermediate once instead of three times."""
     pdf = pdf / jnp.sum(pdf, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (R,N)
 
-    inds = _searchsorted_right(cdf, u)
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, cdf.shape[-1] - 1)
-
-    cdf_g0, bins_g0 = _onehot_gather2(cdf, bins, below)
-    cdf_g1, bins_g1 = _onehot_gather2(cdf, bins, above)
+    # cdf[0] = 0 <= u always, so searchsorted_right's below = inds-1 is the
+    # unique n with cdf[n] <= u AND cdf[n+1] > u (ties collapse correctly:
+    # equal consecutive cdf entries fail the right test except at the run's
+    # end). above = min(below+1, N-1) is folded into the shifted payload.
+    cdf_next = jnp.concatenate(
+        [cdf[:, 1:], jnp.full_like(cdf[:, :1], jnp.inf)], axis=-1
+    )
+    uu = u[:, :, None]
+    onehot = (
+        (cdf[:, None, :] <= uu) & (cdf_next[:, None, :] > uu)
+    ).astype(bins.dtype)  # (R,M,N), exactly one-hot per (r,m)
+    cdf_above = jnp.concatenate([cdf[:, 1:], cdf[:, -1:]], axis=-1)
+    bins_above = jnp.concatenate([bins[:, 1:], bins[:, -1:]], axis=-1)
+    payload = jnp.stack([cdf, bins, cdf_above, bins_above], axis=-1)  # (R,N,4)
+    g = jnp.einsum(
+        "rmn,rnc->rmc", onehot, payload, precision=jax.lax.Precision.HIGHEST
+    )
+    cdf_g0, bins_g0, cdf_g1, bins_g1 = g[..., 0], g[..., 1], g[..., 2], g[..., 3]
 
     denom = cdf_g1 - cdf_g0
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
