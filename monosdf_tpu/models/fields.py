@@ -133,28 +133,36 @@ def sdf_value(
 
 
 def sdf_value_pallas(
-    params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray, dtype=None
+    params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray, dtype=None,
+    pe_in_kernel: bool = False,
 ) -> jnp.ndarray:
-    """Fused-Pallas SDF evaluation (sampler's no-grad sweeps): PE on the
-    XLA side, the whole MLP in one VMEM-resident kernel, sphere clamp after.
-    MLP-mode only (the hash-grid gather stays an XLA op)."""
+    """Fused-Pallas SDF evaluation (sampler's no-grad sweeps): the whole MLP
+    in one VMEM-resident kernel, sphere clamp after. MLP-mode only (the
+    hash-grid gather stays an XLA op).
+
+    pe_in_kernel: compute the positional encoding inside the kernel from raw
+    xyz (kernel_pe) instead of on the XLA side. Kernel-side trig costs ~+14%
+    kernel time at the sweep's single-row-block budget, but removes the
+    XLA-side PE fusion + 39->128-lane pad + layout copy per sweep — measure
+    per config (bench_step --sweep_pe)."""
     from ..ops.pallas_mlp import effective_linear_weights, fused_sdf_mlp_nograd
 
     assert not cfg.use_grid, "pallas fused MLP is for MLP-mode sweeps"
-    # PE stays on the XLA side here: the sweep kernel has too little matmul
-    # work per block to amortize full-lane-width in-kernel trig (measured
-    # -14% step throughput with multires= in-kernel PE; the diff kernel in
-    # pallas_sdf_grad.py amortizes the same trig over 4 stacked row-blocks
-    # and wins).
-    inp = positional_encoding(x, cfg.multires)
     ws, bs = effective_linear_weights(params, cfg.num_layers)
     # the sweeps read ONLY the SDF scalar: truncate the last layer to its
     # first column so the kernel skips the 256 feature outputs (-2/3 of the
     # final matmul after 128-lane padding)
     ws[-1] = ws[-1][:, :1]
     bs[-1] = bs[-1][:1]
-    flat = inp.reshape(-1, inp.shape[-1])
-    out = fused_sdf_mlp_nograd(ws, bs, flat, cfg.skip_in, dtype=dtype)
+    if pe_in_kernel:
+        flat = x.reshape(-1, 3)
+        out = fused_sdf_mlp_nograd(
+            ws, bs, flat, cfg.skip_in, dtype=dtype, multires=cfg.multires
+        )
+    else:
+        inp = positional_encoding(x, cfg.multires)
+        flat = inp.reshape(-1, inp.shape[-1])
+        out = fused_sdf_mlp_nograd(ws, bs, flat, cfg.skip_in, dtype=dtype)
     sdf = out[:, :1].reshape(*x.shape[:-1], 1)
     return _clamp_sdf(cfg, sdf, x)
 
@@ -201,11 +209,10 @@ def sdf_feat_grad_pallas(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray,
     xf = x.reshape(-1, 3)
     ws, bs = effective_linear_weights(params, cfg.num_layers)
     dtype_name = jnp.dtype(dtype).name if dtype is not None else ""
-    out, grad = sdf_mlp_with_grad(
+    sdf_raw, feat, grad = sdf_mlp_with_grad(
         tuple(ws), tuple(bs), xf, cfg.multires, tuple(cfg.skip_in),
         dtype_name, block
     )
-    sdf_raw, feat = out[:, :1], out[:, 1:]
     if cfg.sdf_bounding_sphere > 0.0:
         norm = jnp.linalg.norm(xf, axis=-1, keepdims=True)
         sphere_sdf = cfg.sphere_scale * (cfg.sdf_bounding_sphere - norm)
@@ -234,7 +241,7 @@ def sdf_gradient_pallas(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray,
     xf = x.reshape(-1, 3)
     ws, bs = effective_linear_weights(params, cfg.num_layers)
     dtype_name = jnp.dtype(dtype).name if dtype is not None else ""
-    _, grad = sdf_mlp_with_grad(
+    _, _, grad = sdf_mlp_with_grad(
         tuple(ws), tuple(bs), xf, cfg.multires, tuple(cfg.skip_in),
         dtype_name, block
     )

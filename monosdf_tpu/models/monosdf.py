@@ -62,6 +62,10 @@ class MonoSDFConfig:
     # 1024-ray budget (XLA already handles the small trunk well) — kept as
     # an option for larger batches; non-spec modes only.
     rgb_backend: str = "jnp"
+    # compute the sweep kernel's positional encoding in-kernel from raw xyz
+    # (removes the per-sweep XLA PE fusion + lane pad + layout copy at the
+    # cost of in-kernel trig) — only meaningful with sampler_backend=pallas
+    sweep_pe_in_kernel: bool = False
 
 
 def init_monosdf(key, cfg: MonoSDFConfig) -> dict:
@@ -131,7 +135,8 @@ def render_rays(
 
         def sampler_sdf(pts):
             return sdf_value_pallas(
-                params["implicit"], cfg.implicit, pts, dtype=sampler_dtype
+                params["implicit"], cfg.implicit, pts, dtype=sampler_dtype,
+                pe_in_kernel=cfg.sweep_pe_in_kernel,
             )[..., 0]
     else:
         def sampler_sdf(pts):

@@ -21,6 +21,20 @@ These kernels keep everything in VMEM:
   forward — 2 MXU calls per layer instead of 3 (the DMA pipelines with
   compute; recompute did not).
 
+Boundary layout (profiled: the old single (N, 257)-wide output cost ~1 ms of
+XLA-side slices/pads/relayouts per step):
+
+* In-kernel the LAST layer lives in a permuted layout
+  ``[features (d_out-1 cols, lane-padded) | sdf (own 128-lane block)]`` so
+  both outputs are 128-aligned: features ship as their own act-dtype array
+  (no f32->bf16 slice at lane offset 1), sdf as lane 0 of a f32 block.
+* The backward takes the three cotangents as separate aligned operands
+  (features act-dtype, sdf 1-lane, d-grad (N, 128)-padded) and assembles the
+  in-kernel row-stacks itself — the d-grad lane->row move is three 0/1
+  permutation matmuls on the MXU instead of an XLA transpose+reshape chain.
+* Weight/bias grads are returned in the NATURAL [sdf, features] column
+  order (the permutation is undone on the tiny (d_in, d_out) result).
+
 Structure trick: the primal row-block (b, d) and the three stacked tangent
 row-blocks (3b, d) share every matmul, so each layer's backward is exactly
 two MXU calls on (4b, d) operands:
@@ -93,31 +107,56 @@ def _mask_lanes(v, width: int):
 
 
 def _layer_dims(ws, skip_in, d0: int):
-    """Per-layer true/padded in/out widths; validates the skip topology."""
+    """Per-layer true/padded in/out widths; validates the skip topology.
+
+    The LAST layer's padded width is ``fpad + 128``: its columns are stored
+    permuted as [features (d_out-1, padded to fpad) | sdf at column fpad]."""
     in_true = [w.shape[0] for w in ws]
     out_true = [w.shape[1] for w in ws]
     for l in range(1, len(ws)):
         expect = out_true[l - 1] + (d0 if l in skip_in else 0)
         assert in_true[l] == expect, (l, in_true[l], expect)
     assert in_true[0] == d0
-    return in_true, out_true, [_r128(d) for d in in_true], [_r128(d) for d in out_true]
+    in_pad = [_r128(d) for d in in_true]
+    out_pad = [_r128(d) for d in out_true]
+    fpad = _r128(out_true[-1] - 1)
+    out_pad[-1] = fpad + _LANE
+    return in_true, out_true, in_pad, out_pad, fpad
 
 
 # ---------------------------------------------------------------------------
 # Shared kernel pieces
 # ---------------------------------------------------------------------------
 
-def _pad_params(ws, bs, in_true, out_true, in_pad, out_pad):
+def _pad_params(ws, bs, in_true, out_true, in_pad, out_pad, fpad):
+    """Zero-pad every layer; the last layer is PERMUTED to
+    [features | pad | sdf@fpad | pad]."""
     wp = [
         jnp.pad(ws[l].astype(jnp.float32),
                 ((0, in_pad[l] - in_true[l]), (0, out_pad[l] - out_true[l])))
-        for l in range(len(ws))
+        for l in range(len(ws) - 1)
     ]
     bp = [
         jnp.pad(bs[l].astype(jnp.float32), (0, out_pad[l] - out_true[l]))[None]
-        for l in range(len(bs))
+        for l in range(len(bs) - 1)
     ]
-    return wp, bp
+    wl = ws[-1].astype(jnp.float32)
+    bl = bs[-1].astype(jnp.float32)
+    d_in, d_out = wl.shape
+    w_last = jnp.zeros((in_pad[-1], out_pad[-1]), jnp.float32)
+    w_last = w_last.at[:d_in, : d_out - 1].set(wl[:, 1:])
+    w_last = w_last.at[:d_in, fpad].set(wl[:, 0])
+    b_last = jnp.zeros((out_pad[-1],), jnp.float32)
+    b_last = b_last.at[: d_out - 1].set(bl[1:])
+    b_last = b_last.at[fpad].set(bl[0])
+    return wp + [w_last], bp + [b_last[None]]
+
+
+def _unperm_last_grads(dw, db, d_out: int, fpad: int):
+    """Permuted-layout (in, fpad+128) grads -> natural [sdf, features]."""
+    dw_nat = jnp.concatenate([dw[:, fpad : fpad + 1], dw[:, : d_out - 1]], axis=1)
+    db_nat = jnp.concatenate([db[fpad : fpad + 1], db[: d_out - 1]])
+    return dw_nat, db_nat
 
 
 def _a0_from_x(x_ref, G_ref, c_ref):
@@ -126,14 +165,24 @@ def _a0_from_x(x_ref, G_ref, c_ref):
     return jnp.concatenate([emb] + ts, axis=0)
 
 
+def _lane_perm_const():
+    """(128, 384) 0/1 constant: block k moves lane k to lane 0
+    (``cg @ P[:, 128k:128(k+1)]`` extracts d-grad component k as a column)."""
+    P = np.zeros((_LANE, 3 * _LANE), np.float32)
+    for k in range(3):
+        P[k, k * _LANE] = 1.0
+    return jnp.asarray(P)
+
+
 # ---------------------------------------------------------------------------
 # Pallas forward kernel (primal + stacked tangents; optional Z residuals)
 # ---------------------------------------------------------------------------
 
 def _fwd_pallas(ws, bs, x, skip_in: tuple, multires: int, dtype, block: int,
                 interpret: bool | None, save_z: bool):
-    """(out (N, d_last), grad (N, 3))[, zs]: the stacked primal+tangent
-    forward as one VMEM-resident kernel over raw points x (N, 3).
+    """(sdf (N, 1) f32, feat (N, d_out-1) act-dtype, grad (N, 3) f32)[, zs]:
+    the stacked primal+tangent forward as one VMEM-resident kernel over raw
+    points x (N, 3).
 
     With ``save_z``, each hidden layer's pre-activation Z (4b-row stacked,
     act dtype) is streamed to HBM for the backward to reuse: zs[l] has shape
@@ -147,7 +196,7 @@ def _fwd_pallas(ws, bs, x, skip_in: tuple, multires: int, dtype, block: int,
     N = x.shape[0]
     d0 = 3 * (1 + 2 * multires)
     L = len(ws)
-    in_true, out_true, in_pad, out_pad = _layer_dims(ws, skip_in, d0)
+    in_true, out_true, in_pad, out_pad, fpad = _layer_dims(ws, skip_in, d0)
     d0p = _r128(d0)
     sqrt2 = math.sqrt(2.0)
     act_dtype = jnp.dtype(dtype) if dtype is not None else jnp.float32
@@ -156,7 +205,7 @@ def _fwd_pallas(ws, bs, x, skip_in: tuple, multires: int, dtype, block: int,
     b = block
     n_pad = -(-max(N, 1) // b) * b
 
-    wp, bp = _pad_params(ws, bs, in_true, out_true, in_pad, out_pad)
+    wp, bp = _pad_params(ws, bs, in_true, out_true, in_pad, out_pad, fpad)
     x_p = jnp.pad(x.astype(jnp.float32), ((0, n_pad - N), (0, _LANE - 3)))
     G, coefs = pe_consts(multires, d0p)
 
@@ -164,8 +213,8 @@ def _fwd_pallas(ws, bs, x, skip_in: tuple, multires: int, dtype, block: int,
         x_ref, G_ref, c_ref = refs[:3]
         w_refs = refs[3:3 + L]
         b_refs = refs[3 + L:3 + 2 * L]
-        o_ref, g_ref = refs[3 + 2 * L], refs[4 + 2 * L]
-        z_refs = refs[5 + 2 * L:]
+        os_ref, of_ref, g_ref = refs[3 + 2 * L:6 + 2 * L]
+        z_refs = refs[6 + 2 * L:]
 
         row = jax.lax.broadcasted_iota(jnp.int32, (4 * b, 1), 0)
         primal_row = (row < b).astype(jnp.float32)
@@ -188,18 +237,19 @@ def _fwd_pallas(ws, bs, x, skip_in: tuple, multires: int, dtype, block: int,
             h = _mask_lanes(h, out_true[l])
             T = jnp.concatenate([s, s, s], axis=0) * Z[b:]
             A = jnp.concatenate([h, T], axis=0).astype(act_dtype)
-        # last layer split: primal rows need the full (sdf + feature) width,
-        # tangent rows only column 0 — one lane-block suffices
+        # last layer split: primal rows need the full permuted
+        # [features | sdf-block] width, tangent rows only the sdf block
         wl = w_refs[L - 1][:]
         Zp = jax.lax.dot_general(
             A[:b].astype(op_dtype), wl.astype(op_dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         ) + b_refs[L - 1][:]
         Zt = jax.lax.dot_general(
-            A[b:].astype(op_dtype), wl[:, :_LANE].astype(op_dtype),
+            A[b:].astype(op_dtype), wl[:, fpad:].astype(op_dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
-        o_ref[:] = Zp
+        of_ref[:] = Zp[:, :fpad].astype(act_dtype)
+        os_ref[:] = Zp[:, fpad:]  # lane 0 = sdf; other lanes zero by padding
         gcols = jnp.concatenate(
             [Zt[0:b, 0:1], Zt[b:2 * b, 0:1], Zt[2 * b:3 * b, 0:1]], axis=1
         )
@@ -219,12 +269,13 @@ def _fwd_pallas(ws, bs, x, skip_in: tuple, multires: int, dtype, block: int,
                                      memory_space=pltpu.VMEM))
 
     out_specs = [
-        pl.BlockSpec((b, out_pad[-1]), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, fpad), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((b, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((n_pad, out_pad[-1]), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, fpad), act_dtype),
         jax.ShapeDtypeStruct((n_pad, _LANE), jnp.float32),
     ]
     if save_z:
@@ -247,25 +298,25 @@ def _fwd_pallas(ws, bs, x, skip_in: tuple, multires: int, dtype, block: int,
         ),
         interpret=interpret,
     )(x_p, G, coefs, *wp, *bp)
-    o, g = outs[0][:N, : out_true[-1]], outs[1][:N, :3]
+    sdf = outs[0][:N, :1]
+    feat = outs[1][:N, : out_true[-1] - 1]
+    g = outs[2][:N, :3]
     if save_z:
-        return o, g, list(outs[2:])
-    return o, g
+        return sdf, feat, g, list(outs[3:])
+    return sdf, feat, g
 
 
 # ---------------------------------------------------------------------------
 # Pallas backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_pallas(ws, bs, x, zs, co, cg, skip_in: tuple, multires: int, dtype,
-                block: int, interpret: bool | None):
-    """Hand-written VJP: returns (dws, dbs) at true shapes.
+def _bwd_pallas(ws, bs, x, zs, c_sdf, c_feat, c_grad, skip_in: tuple,
+                multires: int, dtype, block: int, interpret: bool | None):
+    """Hand-written VJP: returns (dws, dbs) at true shapes, natural order.
 
     x (N, 3) raw points; zs: the forward's per-layer pre-activations
     ((4*n_pad, out_pad[l]) act dtype) or None to recompute them in-kernel;
-    co (N, d_last) cotangent of the primal output; cg (3N, 1) cotangent of
-    the stacked tangent outputs' column 0 (i.e. d loss / d grad, stacked
-    [k0 rows; k1; k2] globally).
+    c_sdf (N, 1), c_feat (N, d_out-1), c_grad (N, 3): the output cotangents.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -276,7 +327,7 @@ def _bwd_pallas(ws, bs, x, zs, co, cg, skip_in: tuple, multires: int, dtype,
     N = x.shape[0]
     d0 = 3 * (1 + 2 * multires)
     L = len(ws)
-    in_true, out_true, in_pad, out_pad = _layer_dims(ws, skip_in, d0)
+    in_true, out_true, in_pad, out_pad, fpad = _layer_dims(ws, skip_in, d0)
     d0p = _r128(d0)
     sqrt2 = math.sqrt(2.0)
     act_dtype = jnp.dtype(dtype) if dtype is not None else jnp.float32
@@ -286,32 +337,24 @@ def _bwd_pallas(ws, bs, x, zs, co, cg, skip_in: tuple, multires: int, dtype,
     n_pad = -(-max(N, 1) // b) * b
     recompute = zs is None
 
-    wp, bp = _pad_params(ws, bs, in_true, out_true, in_pad, out_pad)
+    wp, bp = _pad_params(ws, bs, in_true, out_true, in_pad, out_pad, fpad)
     x_p = jnp.pad(x.astype(jnp.float32), ((0, n_pad - N), (0, _LANE - 3)))
     G, coefs = pe_consts(multires, d0p)
+    P = _lane_perm_const()
 
     # cotangents cross HBM at the kernel's operand dtype: they are cast to
     # it for every in-kernel matmul anyway, so only the (tiny) db sums see
-    # the rounding
-    co_p = jnp.pad(co.astype(act_dtype),
-                   ((0, n_pad - N), (0, out_pad[-1] - co.shape[1])))
-    # globally-stacked (3N, 1) -> block-interleaved (3*n_pad, 1) so that
-    # grid block i's (3b) rows are [k0 rows i*b:(i+1)*b; k1 same; k2 same].
-    # Kept at ONE lane: padding this to 128 lanes cost a 154 MB HBM
-    # round-trip for a single useful column.
-    groups = [
-        jnp.pad(cg[k * N:(k + 1) * N].astype(act_dtype), ((0, n_pad - N), (0, 0)))
-        for k in range(3)
-    ]
-    cg_p = (
-        jnp.stack(groups, axis=0)
-        .reshape(3, n_pad // b, b, 1)
-        .transpose(1, 0, 2, 3)
-        .reshape(3 * n_pad, 1)
-    )
+    # the rounding. All three ship 128-aligned: feat at fpad lanes, sdf at
+    # ONE lane, d-grad at its natural (N, 3) lanes padded to 128 (the
+    # lane->row stacking happens in-kernel via P).
+    cf_p = jnp.pad(c_feat.astype(act_dtype),
+                   ((0, n_pad - N), (0, fpad - c_feat.shape[1])))
+    cs_p = jnp.pad(c_sdf.astype(act_dtype), ((0, n_pad - N), (0, 0)))
+    cg_p = jnp.pad(c_grad.astype(act_dtype),
+                   ((0, n_pad - N), (0, _LANE - 3)))
 
     def kernel(*refs):
-        (x_ref, G_ref, c_ref, co_ref, cg_ref), rest = refs[:5], refs[5:]
+        (x_ref, G_ref, c_ref, P_ref, cs_ref, cf_ref, cg_ref), rest = refs[:7], refs[7:]
         w_refs, rest = rest[:L], rest[L:]
         b_refs, rest = rest[:L], rest[L:]
         if not recompute:
@@ -351,8 +394,8 @@ def _bwd_pallas(ws, bs, x, zs, co, cg, skip_in: tuple, multires: int, dtype,
 
         # ---- forward recompute (only when Z residuals weren't saved) ------
         # (the LAST layer's Z is never needed by the reverse sweep: its
-        # cotangent comes straight from co/cg, and its matmul input is
-        # recomputed from z_refs[L-2] — so layer L-1 is skipped entirely)
+        # cotangent comes straight from the output cotangents, and its matmul
+        # input is recomputed from z_refs[L-2] — so layer L-1 is skipped)
         if recompute:
             A = A0
             for l in range(L - 1):
@@ -394,23 +437,32 @@ def _bwd_pallas(ws, bs, x, zs, co, cg, skip_in: tuple, multires: int, dtype,
             return jnp.pad(ct_prev, ((0, 0), (0, out_pad[l - 1] - prev)))
 
         # ---- reverse sweep -------------------------------------------------
-        # Last layer, SPLIT: primal rows carry the full-width output
-        # cotangent (co); tangent rows' cotangent is nonzero only in column
-        # 0 (d loss / d grad_k), so one lane-block of the weight suffices.
+        # Last layer, SPLIT (permuted [features | sdf-block] layout): primal
+        # rows carry [c_feat | c_sdf at lane fpad]; tangent rows' cotangent
+        # is nonzero only in the sdf block's lane 0 (d loss / d grad_k),
+        # assembled from the (b, 128) c_grad block by three 0/1 permutation
+        # matmuls (lane k -> rows block k, lane 0).
         wl = w_refs[L - 1][:]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (3 * b, _LANE), 1)
-        CTt = jnp.where(lane == 0, cg_ref[:].astype(jnp.float32), 0.0)  # (3b, 128)
-        CTp = co_ref[:].astype(jnp.float32)  # (b, out_pad[-1])
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b, _LANE), 1)
+        cs_block = jnp.where(lane == 0, cs_ref[:].astype(jnp.float32), 0.0)
+        CTp = jnp.concatenate(
+            [cf_ref[:].astype(jnp.float32), cs_block], axis=1
+        )  # (b, fpad + 128)
+        cgb = cg_ref[:]
+        CTt = jnp.concatenate(
+            [dot(cgb, P_ref[:, k * _LANE:(k + 1) * _LANE]) for k in range(3)],
+            axis=0,
+        )  # (3b, 128), lane 0 = c_grad[:, k] per row-block
         A_in = a_in_of(L - 1)
         dw_last = dot_accum(A_in[:b], CTp)
         dw_last_t = dot_accum(A_in[b:], CTt)
         dw_refs[L - 1][:] += dw_last + jnp.pad(
-            dw_last_t, ((0, 0), (0, out_pad[-1] - _LANE))
+            dw_last_t, ((0, 0), (fpad, 0))
         )
         db_refs[L - 1][:] += jnp.sum(CTp, axis=0, keepdims=True)
         ct_Ain = jnp.concatenate(
             [dot(CTp, wl, transpose_w=True),
-             dot(CTt, wl[:, :_LANE], transpose_w=True)],
+             dot(CTt, wl[:, fpad:], transpose_w=True)],
             axis=0,
         )
         ct_A = to_prev_ct(ct_Ain, L - 1)
@@ -443,10 +495,12 @@ def _bwd_pallas(ws, bs, x, zs, co, cg, skip_in: tuple, multires: int, dtype,
         pl.BlockSpec((b, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(G.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(coefs.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((b, out_pad[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3 * b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(P.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, fpad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
-    operands = [x_p, G, coefs, co_p, cg_p]
+    operands = [x_p, G, coefs, P, cs_p, cf_p, cg_p]
     for l in range(L):
         in_specs.append(pl.BlockSpec(wp[l].shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
@@ -491,8 +545,13 @@ def _bwd_pallas(ws, bs, x, zs, co, cg, skip_in: tuple, multires: int, dtype,
         interpret=interpret,
     )(*operands)
 
-    dws = [outs[l][: in_true[l], : out_true[l]] for l in range(L)]
-    dbs = [outs[L + l][0, : out_true[l]] for l in range(L)]
+    dws = [outs[l][: in_true[l], : out_true[l]] for l in range(L - 1)]
+    dbs = [outs[L + l][0, : out_true[l]] for l in range(L - 1)]
+    dw_last, db_last = _unperm_last_grads(
+        outs[L - 1][: in_true[-1]], outs[2 * L - 1][0], out_true[-1], fpad
+    )
+    dws.append(dw_last)
+    dbs.append(db_last)
     return dws, dbs
 
 
@@ -503,13 +562,16 @@ def _bwd_pallas(ws, bs, x, zs, co, cg, skip_in: tuple, multires: int, dtype,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def sdf_mlp_with_grad(ws, bs, x, multires: int, skip_in: tuple,
                       dtype_name: str, block: int, save_z: bool = True):
-    """(out, grad) of the SDF MLP over raw points, Pallas fwd + backward.
+    """(sdf (N, 1) f32, feat (N, d_out-1), grad (N, 3) f32) of the SDF MLP
+    over raw points, Pallas fwd + backward. feat is at the activation dtype
+    (bf16 under mixed precision — its consumers cast there anyway).
 
-    ws/bs: EFFECTIVE per-layer weights (tuple of (d_in, d_out)) and biases.
-    x (N, 3) raw points — the positional encoding (multires) and its basis
-    tangents are computed in-kernel. dtype_name: '' for f32, else e.g.
-    'bfloat16'. save_z: stream pre-activations to HBM in the differentiated
-    forward so the backward skips its forward recompute.
+    ws/bs: EFFECTIVE per-layer weights (tuple of (d_in, d_out)) and biases,
+    NATURAL column order (sdf first). x (N, 3) raw points — the positional
+    encoding (multires) and its basis tangents are computed in-kernel.
+    dtype_name: '' for f32, else e.g. 'bfloat16'. save_z: stream
+    pre-activations to HBM in the differentiated forward so the backward
+    skips its forward recompute.
 
     The VJP produces parameter gradients only; the x cotangent is ZERO
     (sample points are stop-gradient'ed in every reference loss).
@@ -522,25 +584,23 @@ def sdf_mlp_with_grad(ws, bs, x, multires: int, skip_in: tuple,
 def _fwd(ws, bs, x, multires, skip_in, dtype_name, block, save_z):
     dtype = jnp.dtype(dtype_name) if dtype_name else None
     if save_z:
-        o, g, zs = _fwd_pallas(list(ws), list(bs), x, skip_in, multires,
-                               dtype, block, None, save_z=True)
+        sdf, feat, g, zs = _fwd_pallas(list(ws), list(bs), x, skip_in,
+                                       multires, dtype, block, None,
+                                       save_z=True)
     else:
-        o, g = _fwd_pallas(list(ws), list(bs), x, skip_in, multires, dtype,
-                           block, None, save_z=False)
+        sdf, feat, g = _fwd_pallas(list(ws), list(bs), x, skip_in, multires,
+                                   dtype, block, None, save_z=False)
         zs = None
-    return (o, g), (ws, bs, x, zs)
+    return (sdf, feat, g), (ws, bs, x, zs)
 
 
 def _bwd(multires, skip_in, dtype_name, block, save_z, res, cts):
     ws, bs, x, zs = res
-    co, cgrad = cts  # (N, d_out), (N, 3)
-    N = x.shape[0]
+    c_sdf, c_feat, c_grad = cts  # (N, 1), (N, d_out-1), (N, 3)
     dtype = jnp.dtype(dtype_name) if dtype_name else None
-    # (N, 3) -> stacked (3N, 1) matching the tangent row blocks
-    cg = jnp.transpose(cgrad).reshape(3 * N, 1)
     dws, dbs = _bwd_pallas(
-        list(ws), list(bs), x, zs, co, cg, skip_in, multires, dtype, block,
-        None,
+        list(ws), list(bs), x, zs, c_sdf, c_feat, c_grad, skip_in, multires,
+        dtype, block, None,
     )
     return (
         tuple(dw.astype(w.dtype) for dw, w in zip(dws, ws)),

@@ -66,11 +66,11 @@ def main():
         )
 
         def loss(ws, bs, x, b=b):
-            o, g = sdf_mlp_with_grad(
+            sdf, feat, g = sdf_mlp_with_grad(
                 ws, bs, x, cfg.multires, tuple(cfg.skip_in), dtype_name, b,
                 save_z,
             )
-            return jnp.sum(o[:, 0] ** 2) + jnp.sum(g**2)
+            return jnp.sum(sdf[:, 0] ** 2) + jnp.sum(g**2)
 
         fb = jax.jit(jax.grad(loss, argnums=(0, 1)))
         ms_f = timed(fwd, ws, bs, x)

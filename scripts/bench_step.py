@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--rays", type=int, default=1024)
     ap.add_argument("--diff", default="jnp")
     ap.add_argument("--sampler", default="jnp")
+    ap.add_argument("--rgb", default="jnp")
+    ap.add_argument("--sweep_pe", action="store_true", help="in-kernel sweep PE")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--grid", action="store_true", help="hash-grid flagship config")
@@ -70,6 +72,8 @@ def main():
         mixed_precision=not args.f32,
         sampler_backend=args.sampler,
         diff_backend=args.diff,
+        rgb_backend=args.rgb,
+        sweep_pe_in_kernel=args.sweep_pe,
     )
 
     params = init_monosdf(jax.random.PRNGKey(0), cfg)
@@ -102,6 +106,7 @@ def main():
 
     print(json.dumps({
         "rays": args.rays, "diff": args.diff, "sampler": args.sampler,
+        "rgb": args.rgb, "sweep_pe": args.sweep_pe,
         "grid": args.grid, "ms_per_step": round(1e3 * dt / args.iters, 2),
         "rays_per_s": round(args.rays * args.iters / dt, 1),
         "compile_s": round(compile_s, 1),
