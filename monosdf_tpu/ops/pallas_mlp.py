@@ -89,6 +89,27 @@ def pe_consts(multires: int, d0p: int):
     return jnp.asarray(G), jnp.asarray(coefs)
 
 
+def positional_encoding_lanepad(x: jnp.ndarray, multires: int) -> jnp.ndarray:
+    """XLA-side positional encoding emitted DIRECTLY at the 128-lane padded
+    width a Pallas kernel consumes (pad lanes zero).
+
+    ops/embedder.py's positional_encoding produces (N, 39) which XLA then
+    lane-pads with a separate copy + pad op per consumer (~0.15 ms each at
+    the sweep's 131k points); computing ``xs = x @ G[:3]`` (scales are
+    powers of two — exact at HIGHEST precision) and assembling with the
+    same pe_consts rows yields the (N, d0p) array natively. Bitwise equal
+    to positional_encoding on the true lanes."""
+    d0 = 3 * (1 + 2 * multires)
+    d0p = _round_up(d0, _LANE)
+    G, coefs = pe_consts(multires, d0p)
+    xs = jax.lax.dot_general(
+        x, G[:3], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return coefs[0:1] * xs + coefs[1:2] * jnp.sin(xs) + coefs[2:3] * jnp.cos(xs)
+
+
 def kernel_pe(x_blk, G, coefs, tangents: bool):
     """In-kernel positional encoding from raw-xyz lanes.
 
@@ -123,6 +144,7 @@ def fused_sdf_mlp(
     interpret: bool | None = None,
     dtype=None,
     multires: int | None = None,
+    d0_true: int | None = None,
 ) -> jnp.ndarray:
     """Run the SDF MLP on embedded inputs (or raw points).
 
@@ -130,9 +152,11 @@ def fused_sdf_mlp(
     applied); biases[l]: (d_{l+1},). x_embedded: (N, d_0) the PE(+grid)
     features — or, with ``multires`` set, raw (N, 3) points whose positional
     encoding is computed IN-KERNEL (pe_consts/kernel_pe; saves the (N, d0p)
-    embedding HBM round-trip and the XLA-side trig). skip_in: layer indices
-    where the input is re-concatenated (reference network.py:88-89).
-    Returns (N, d_last) — caller slices sdf/features.
+    embedding HBM round-trip and the XLA-side trig). With ``d0_true`` set,
+    x_embedded is ALREADY lane-padded to round_up(d0_true, 128) with zero
+    pad lanes (positional_encoding_lanepad) — skips the XLA-side pad.
+    skip_in: layer indices where the input is re-concatenated (reference
+    network.py:88-89). Returns (N, d_last) — caller slices sdf/features.
 
     All activations up to the last layer get softplus(beta=100); the last
     layer is linear (reference network.py:79-96).
@@ -144,7 +168,13 @@ def fused_sdf_mlp(
         interpret = jax.devices()[0].platform == "cpu"
 
     n_layers = len(weights)
-    d0 = 3 * (1 + 2 * multires) if multires is not None else x_embedded.shape[-1]
+    if multires is not None:
+        d0 = 3 * (1 + 2 * multires)
+    elif d0_true is not None:
+        d0 = d0_true
+        assert x_embedded.shape[-1] == _round_up(d0, _LANE)
+    else:
+        d0 = x_embedded.shape[-1]
     d0p = _round_up(d0, _LANE)
     dims = [d0] + [w.shape[1] for w in weights]
 
@@ -180,7 +210,8 @@ def fused_sdf_mlp(
         pe_ops = [G, coefs]
     else:
         x_p = jnp.pad(
-            x_embedded.astype(jnp.float32), ((0, n_pad - N), (0, d0p - d0))
+            x_embedded.astype(jnp.float32),
+            ((0, n_pad - N), (0, d0p - x_embedded.shape[-1])),
         )
         pe_ops = []
 
@@ -269,6 +300,7 @@ def fused_sdf_mlp_nograd(
     block: int = 512,
     dtype=None,
     multires: int | None = None,
+    d0_true: int | None = None,
 ) -> jnp.ndarray:
     """AD-opaque fused MLP: pallas_call has no JVP rule, and the sampler
     caller stop-gradients the result anyway — declare a zero tangent so the
@@ -277,7 +309,8 @@ def fused_sdf_mlp_nograd(
     @jax.custom_jvp
     def f(ws, bs, x):
         return fused_sdf_mlp(
-            ws, bs, x, skip_in, block=block, dtype=dtype, multires=multires
+            ws, bs, x, skip_in, block=block, dtype=dtype, multires=multires,
+            d0_true=d0_true,
         )
 
     @f.defjvp

@@ -174,15 +174,66 @@ def _lane_perm_const():
     return jnp.asarray(P)
 
 
+def _sphere_consts():
+    """(128, 256) 0/1 constant for the in-kernel bounding-sphere clamp:
+    left block S: rows 0-2 all-ones (``(x*x) @ S`` puts |x|^2 on EVERY
+    lane); right block B: row 0 all-ones (broadcasts the sdf lane across
+    lanes)."""
+    C = np.zeros((_LANE, 2 * _LANE), np.float32)
+    C[:3, :_LANE] = 1.0
+    C[0, _LANE:] = 1.0
+    return jnp.asarray(C)
+
+
+def _clamp_fwd(x_blk, Zs, gcols_pad, C_ref, sphere_scale, bounding_sphere):
+    """In-kernel bounding-sphere clamp (reference network.py:115-118 and the
+    clamp's gradient select): given the raw-xyz block (b, 128), the sdf
+    lane-block Zs (b, 128) (lane 0 = sdf) and the padded d-grad lanes
+    (b, 128), returns (os_block, g_block, take) where os_block carries the
+    clamped sdf on lane 0 and the take-MLP flag on lane 1."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, Zs.shape, 1)
+    xb = x_blk
+
+    def dotf(a, w):
+        # HIGHEST: |x|^2 must come out at full f32 (a bf16-rounded norm can
+        # flip the take-MLP select near the sphere, where the two gradient
+        # branches differ materially)
+        return jax.lax.dot_general(
+            a, w, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    n2 = dotf(xb * xb, C_ref[:, :_LANE])  # every lane = |x|^2
+    sdf_b = dotf(Zs, C_ref[:, _LANE:])  # every lane = sdf
+    norm = jnp.sqrt(n2)
+    sphere = sphere_scale * (bounding_sphere - norm)
+    take = sdf_b <= sphere  # every lane equal
+    os_block = jnp.where(
+        lane == 0,
+        jnp.where(take, Zs, sphere),
+        jnp.where(lane == 1, take.astype(jnp.float32), 0.0),
+    )
+    grad_sphere = xb * (-sphere_scale / jnp.maximum(norm, 1e-12))
+    g_block = jnp.where(take, gcols_pad, grad_sphere)
+    return os_block, g_block
+
+
 # ---------------------------------------------------------------------------
 # Pallas forward kernel (primal + stacked tangents; optional Z residuals)
 # ---------------------------------------------------------------------------
 
 def _fwd_pallas(ws, bs, x, skip_in: tuple, multires: int, dtype, block: int,
-                interpret: bool | None, save_z: bool):
+                interpret: bool | None, save_z: bool,
+                bounding_sphere: float = 0.0, sphere_scale: float = 1.0):
     """(sdf (N, 1) f32, feat (N, d_out-1) act-dtype, grad (N, 3) f32)[, zs]:
     the stacked primal+tangent forward as one VMEM-resident kernel over raw
     points x (N, 3).
+
+    With ``bounding_sphere > 0`` the bounding-sphere clamp
+    ``min(sdf, scale*(R - |x|))`` and its gradient select run IN-KERNEL
+    (reference network.py:115-118); the take-MLP flag is emitted on lane 1
+    of the sdf output block for the backward's cotangent gating.
 
     With ``save_z``, each hidden layer's pre-activation Z (4b-row stacked,
     act dtype) is streamed to HBM for the backward to reuse: zs[l] has shape
@@ -205,16 +256,21 @@ def _fwd_pallas(ws, bs, x, skip_in: tuple, multires: int, dtype, block: int,
     b = block
     n_pad = -(-max(N, 1) // b) * b
 
+    clamp = bounding_sphere > 0.0
     wp, bp = _pad_params(ws, bs, in_true, out_true, in_pad, out_pad, fpad)
     x_p = jnp.pad(x.astype(jnp.float32), ((0, n_pad - N), (0, _LANE - 3)))
     G, coefs = pe_consts(multires, d0p)
+    C = _sphere_consts() if clamp else None
+    n_extra = 1 if clamp else 0
 
     def kernel(*refs):
         x_ref, G_ref, c_ref = refs[:3]
-        w_refs = refs[3:3 + L]
-        b_refs = refs[3 + L:3 + 2 * L]
-        os_ref, of_ref, g_ref = refs[3 + 2 * L:6 + 2 * L]
-        z_refs = refs[6 + 2 * L:]
+        C_ref = refs[3] if clamp else None
+        refs = refs[3 + n_extra:]
+        w_refs = refs[:L]
+        b_refs = refs[L:2 * L]
+        os_ref, of_ref, g_ref = refs[2 * L:3 + 2 * L]
+        z_refs = refs[3 + 2 * L:]
 
         row = jax.lax.broadcasted_iota(jnp.int32, (4 * b, 1), 0)
         primal_row = (row < b).astype(jnp.float32)
@@ -249,11 +305,20 @@ def _fwd_pallas(ws, bs, x, skip_in: tuple, multires: int, dtype, block: int,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         of_ref[:] = Zp[:, :fpad].astype(act_dtype)
-        os_ref[:] = Zp[:, fpad:]  # lane 0 = sdf; other lanes zero by padding
         gcols = jnp.concatenate(
             [Zt[0:b, 0:1], Zt[b:2 * b, 0:1], Zt[2 * b:3 * b, 0:1]], axis=1
         )
-        g_ref[:] = jnp.pad(gcols, ((0, 0), (0, _LANE - 3)))
+        gpad = jnp.pad(gcols, ((0, 0), (0, _LANE - 3)))
+        if clamp:
+            os_blk, g_blk = _clamp_fwd(
+                x_ref[:], Zp[:, fpad:], gpad, C_ref[:],
+                sphere_scale, bounding_sphere,
+            )
+            os_ref[:] = os_blk
+            g_ref[:] = g_blk
+        else:
+            os_ref[:] = Zp[:, fpad:]  # lane 0 = sdf; others zero by padding
+            g_ref[:] = gpad
 
     grid = (n_pad // b,)
     in_specs = [
@@ -261,6 +326,10 @@ def _fwd_pallas(ws, bs, x, skip_in: tuple, multires: int, dtype, block: int,
         pl.BlockSpec(G.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(coefs.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
+    if clamp:
+        in_specs.append(
+            pl.BlockSpec(C.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
     for l in range(L):
         in_specs.append(pl.BlockSpec(wp[l].shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
@@ -297,13 +366,17 @@ def _fwd_pallas(ws, bs, x, skip_in: tuple, multires: int, dtype, block: int,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(x_p, G, coefs, *wp, *bp)
+    )(x_p, G, coefs, *([C] if clamp else []), *wp, *bp)
     sdf = outs[0][:N, :1]
     feat = outs[1][:N, : out_true[-1] - 1]
     g = outs[2][:N, :3]
+    if clamp:
+        flag = outs[0][:N, 1:2]  # take-MLP indicator for the backward
+    else:
+        flag = None
     if save_z:
-        return sdf, feat, g, list(outs[3:])
-    return sdf, feat, g
+        return sdf, feat, g, flag, list(outs[3:])
+    return sdf, feat, g, flag
 
 
 # ---------------------------------------------------------------------------
@@ -311,12 +384,16 @@ def _fwd_pallas(ws, bs, x, skip_in: tuple, multires: int, dtype, block: int,
 # ---------------------------------------------------------------------------
 
 def _bwd_pallas(ws, bs, x, zs, c_sdf, c_feat, c_grad, skip_in: tuple,
-                multires: int, dtype, block: int, interpret: bool | None):
+                multires: int, dtype, block: int, interpret: bool | None,
+                flag=None):
     """Hand-written VJP: returns (dws, dbs) at true shapes, natural order.
 
     x (N, 3) raw points; zs: the forward's per-layer pre-activations
     ((4*n_pad, out_pad[l]) act dtype) or None to recompute them in-kernel;
     c_sdf (N, 1), c_feat (N, d_out-1), c_grad (N, 3): the output cotangents.
+    flag (N, 1) or None: the forward's take-MLP indicator — where 0 (the
+    bounding sphere won the clamp) the sdf and d-grad cotangents are gated
+    to zero (the sphere branch has no parameter dependence).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -352,9 +429,14 @@ def _bwd_pallas(ws, bs, x, zs, c_sdf, c_feat, c_grad, skip_in: tuple,
     cs_p = jnp.pad(c_sdf.astype(act_dtype), ((0, n_pad - N), (0, 0)))
     cg_p = jnp.pad(c_grad.astype(act_dtype),
                    ((0, n_pad - N), (0, _LANE - 3)))
+    gated = flag is not None
+    if gated:
+        fl_p = jnp.pad(flag.astype(act_dtype), ((0, n_pad - N), (0, 0)))
 
     def kernel(*refs):
         (x_ref, G_ref, c_ref, P_ref, cs_ref, cf_ref, cg_ref), rest = refs[:7], refs[7:]
+        if gated:
+            fl_ref, rest = rest[0], rest[1:]
         w_refs, rest = rest[:L], rest[L:]
         b_refs, rest = rest[:L], rest[L:]
         if not recompute:
@@ -444,11 +526,16 @@ def _bwd_pallas(ws, bs, x, zs, c_sdf, c_feat, c_grad, skip_in: tuple,
         # matmuls (lane k -> rows block k, lane 0).
         wl = w_refs[L - 1][:]
         lane = jax.lax.broadcasted_iota(jnp.int32, (b, _LANE), 1)
-        cs_block = jnp.where(lane == 0, cs_ref[:].astype(jnp.float32), 0.0)
+        cs_in = cs_ref[:].astype(jnp.float32)
+        cgb = cg_ref[:]
+        if gated:
+            fl = fl_ref[:].astype(jnp.float32)  # (b, 1) 1.0 = take MLP
+            cs_in = cs_in * fl
+            cgb = cgb * fl.astype(cgb.dtype)
+        cs_block = jnp.where(lane == 0, cs_in, 0.0)
         CTp = jnp.concatenate(
             [cf_ref[:].astype(jnp.float32), cs_block], axis=1
         )  # (b, fpad + 128)
-        cgb = cg_ref[:]
         CTt = jnp.concatenate(
             [dot(cgb, P_ref[:, k * _LANE:(k + 1) * _LANE]) for k in range(3)],
             axis=0,
@@ -501,6 +588,11 @@ def _bwd_pallas(ws, bs, x, zs, c_sdf, c_feat, c_grad, skip_in: tuple,
         pl.BlockSpec((b, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
     operands = [x_p, G, coefs, P, cs_p, cf_p, cg_p]
+    if gated:
+        in_specs.append(
+            pl.BlockSpec((b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(fl_p)
     for l in range(L):
         in_specs.append(pl.BlockSpec(wp[l].shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
@@ -559,9 +651,10 @@ def _bwd_pallas(ws, bs, x, zs, c_sdf, c_feat, c_grad, skip_in: tuple,
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def sdf_mlp_with_grad(ws, bs, x, multires: int, skip_in: tuple,
-                      dtype_name: str, block: int, save_z: bool = True):
+                      dtype_name: str, block: int, save_z: bool = True,
+                      bounding_sphere: float = 0.0, sphere_scale: float = 1.0):
     """(sdf (N, 1) f32, feat (N, d_out-1), grad (N, 3) f32) of the SDF MLP
     over raw points, Pallas fwd + backward. feat is at the activation dtype
     (bf16 under mixed precision — its consumers cast there anyway).
@@ -571,36 +664,50 @@ def sdf_mlp_with_grad(ws, bs, x, multires: int, skip_in: tuple,
     encoding (multires) and its basis tangents are computed in-kernel.
     dtype_name: '' for f32, else e.g. 'bfloat16'. save_z: stream
     pre-activations to HBM in the differentiated forward so the backward
-    skips its forward recompute.
+    skips its forward recompute. bounding_sphere > 0 applies the
+    bounding-sphere clamp to sdf AND grad in-kernel (reference
+    network.py:115-118), with the VJP gating cotangents by the take-MLP
+    flag the forward stashes.
 
     The VJP produces parameter gradients only; the x cotangent is ZERO
     (sample points are stop-gradient'ed in every reference loss).
     """
     dtype = jnp.dtype(dtype_name) if dtype_name else None
-    return _fwd_pallas(list(ws), list(bs), x, skip_in, multires, dtype, block,
-                       None, save_z=False)
+    sdf, feat, g, _ = _fwd_pallas(
+        list(ws), list(bs), x, skip_in, multires, dtype, block, None,
+        save_z=False, bounding_sphere=bounding_sphere,
+        sphere_scale=sphere_scale,
+    )
+    return sdf, feat, g
 
 
-def _fwd(ws, bs, x, multires, skip_in, dtype_name, block, save_z):
+def _fwd(ws, bs, x, multires, skip_in, dtype_name, block, save_z,
+         bounding_sphere, sphere_scale):
     dtype = jnp.dtype(dtype_name) if dtype_name else None
     if save_z:
-        sdf, feat, g, zs = _fwd_pallas(list(ws), list(bs), x, skip_in,
-                                       multires, dtype, block, None,
-                                       save_z=True)
+        sdf, feat, g, flag, zs = _fwd_pallas(
+            list(ws), list(bs), x, skip_in, multires, dtype, block, None,
+            save_z=True, bounding_sphere=bounding_sphere,
+            sphere_scale=sphere_scale,
+        )
     else:
-        sdf, feat, g = _fwd_pallas(list(ws), list(bs), x, skip_in, multires,
-                                   dtype, block, None, save_z=False)
+        sdf, feat, g, flag = _fwd_pallas(
+            list(ws), list(bs), x, skip_in, multires, dtype, block, None,
+            save_z=False, bounding_sphere=bounding_sphere,
+            sphere_scale=sphere_scale,
+        )
         zs = None
-    return (sdf, feat, g), (ws, bs, x, zs)
+    return (sdf, feat, g), (ws, bs, x, zs, flag)
 
 
-def _bwd(multires, skip_in, dtype_name, block, save_z, res, cts):
-    ws, bs, x, zs = res
+def _bwd(multires, skip_in, dtype_name, block, save_z, bounding_sphere,
+         sphere_scale, res, cts):
+    ws, bs, x, zs, flag = res
     c_sdf, c_feat, c_grad = cts  # (N, 1), (N, d_out-1), (N, 3)
     dtype = jnp.dtype(dtype_name) if dtype_name else None
     dws, dbs = _bwd_pallas(
         list(ws), list(bs), x, zs, c_sdf, c_feat, c_grad, skip_in, multires,
-        dtype, block, None,
+        dtype, block, None, flag=flag,
     )
     return (
         tuple(dw.astype(w.dtype) for dw, w in zip(dws, ws)),
