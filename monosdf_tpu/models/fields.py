@@ -256,31 +256,45 @@ def rendering_apply_pallas(
     feature_vectors: jnp.ndarray,
     image_code: jnp.ndarray | None = None,
     dtype=None,
-    block: int = 256,
+    block: int = 1024,
 ) -> dict:
-    """rendering_apply (non-spec trunk) with the Pallas hand-written VJP
-    (ops/pallas_rgb_grad.py): backward recomputes in VMEM and emits weight
-    AND input cotangents (normals/features/per-image codes all need grads).
-    View PE, concat, and the final sigmoid/HDR-relu stay in XLA."""
+    """rendering_apply (idr-mode non-spec trunk) with the split-operand
+    Pallas VJP (ops/pallas_rgb_grad.py radiance_split): normals, the
+    [points|viewPE] block, features and the per-image code ship as SEPARATE
+    aligned operands with the first layer's weight rows split to match — the
+    (N, 289) input concatenate and its cotangent split never materialize.
+    The backward recomputes in VMEM and emits normal/feature/code cotangents
+    (no points/view cotangent — stop-gradient'ed data). View PE and the
+    final sigmoid/HDR-relu stay in XLA."""
     from ..ops.pallas_mlp import effective_linear_weights
-    from ..ops.pallas_rgb_grad import mlp_with_input_grad
+    from ..ops.pallas_rgb_grad import mlp_with_input_grad, radiance_split
 
     assert not cfg.spec, "pallas radiance path covers the plain trunk only"
     if cfg.multires_view > 0:
         view_dirs = positional_encoding(view_dirs, cfg.multires_view)
-    if cfg.mode == "idr":
-        h = jnp.concatenate([points, view_dirs, normals, feature_vectors], axis=-1)
-    elif cfg.mode == "nerf":
+    if cfg.mode != "idr":
+        # nerf mode has no normals block — use the concatenated-h0 kernel
         h = jnp.concatenate([view_dirs, feature_vectors], axis=-1)
-    else:
-        raise NotImplementedError(cfg.mode)
+        if cfg.per_image_code:
+            assert image_code is not None
+            h = jnp.concatenate([h, image_code], axis=-1)
+        ws, bs = effective_linear_weights(params, cfg.num_layers)
+        dtype_name = jnp.dtype(dtype).name if dtype is not None else ""
+        out = mlp_with_input_grad(tuple(ws), tuple(bs), h, dtype_name, 256)
+        out = jax.nn.relu(out) if cfg.if_hdr else jax.nn.sigmoid(out)
+        return {"rgb": out}
+    sv = jnp.concatenate([points, view_dirs], axis=-1)
+    n128 = jnp.pad(normals, ((0, 0), (0, 128 - normals.shape[1])))
+    code = image_code if cfg.per_image_code else None
     if cfg.per_image_code:
         assert image_code is not None
-        h = jnp.concatenate([h, image_code], axis=-1)
 
     ws, bs = effective_linear_weights(params, cfg.num_layers)
     dtype_name = jnp.dtype(dtype).name if dtype is not None else ""
-    out = mlp_with_input_grad(tuple(ws), tuple(bs), h, dtype_name, block)
+    out = radiance_split(
+        tuple(ws), tuple(bs), n128, sv, feature_vectors, code,
+        sv.shape[1], dtype_name, block,
+    )
     out = jax.nn.relu(out) if cfg.if_hdr else jax.nn.sigmoid(out)
     return {"rgb": out}
 

@@ -178,7 +178,11 @@ def render_rays(
 
     # the radiance kernel is independent of the implicit net's mode (it
     # also applies in grid mode), unlike the SDF kernel above
-    if cfg.rgb_backend == "pallas" and not cfg.rendering.spec:
+    if (
+        cfg.rgb_backend == "pallas"
+        and not cfg.rendering.spec
+        and cfg.rendering.mode == "idr"
+    ):
         from .fields import rendering_apply_pallas
 
         render_out = rendering_apply_pallas(
