@@ -254,7 +254,7 @@ def fused_sdf_mlp(
             else:
                 lane_idx = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
                 h = jnp.where(lane_idx < width, acc, 0.0)
-        out_ref[:] = h
+        out_ref[:] = h.astype(out_ref.dtype)
 
     grid = (n_pad // block,)
     in_specs = [
@@ -283,13 +283,19 @@ def fused_sdf_mlp(
         out_specs=pl.BlockSpec(
             (block, out_pad[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, out_pad[-1]), jnp.float32),
+        # the sweeps' consumer (the error-bound machinery) reads ONE lane of
+        # this array — emit at the compute dtype to halve the HBM read
+        # (values already passed through bf16 matmuls when dtype is set)
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pad, out_pad[-1]),
+            jnp.dtype(dtype) if dtype is not None else jnp.float32,
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(x_p, *pe_ops, *wp, *bp)
-    return out[:N, : dims[-1]]
+    return out[:N, : dims[-1]].astype(jnp.float32)
 
 
 def fused_sdf_mlp_nograd(
