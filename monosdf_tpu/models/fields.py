@@ -160,10 +160,12 @@ def sdf_value_pallas(
             ws, bs, flat, cfg.skip_in, dtype=dtype, multires=cfg.multires
         )
     else:
-        # PE at its true 39-lane width + an XLA pad beats emitting it
-        # 128-lane-wide (positional_encoding_lanepad): the padded variant
-        # evaluates sin/cos on all 128 lanes — 7x the transcendentals,
-        # measured +1.5 ms/step vs the pad+copy it saves
+        # PE at its true 39-lane width + an XLA pad. Both lane-padded
+        # variants REGRESS despite killing the per-sweep pad+copy:
+        # sin+cos over 128 lanes +1.5 ms/step; single-sin phase-folded
+        # (positional_encoding_lanepad_sin) also +1.5 ms — the 128-lane
+        # trig plus the HIGHEST-precision lane-replication matmul cost
+        # more than the ~0.15 ms/sweep pad they remove.
         inp = positional_encoding(x, cfg.multires)
         flat = inp.reshape(-1, inp.shape[-1])
         out = fused_sdf_mlp_nograd(ws, bs, flat, cfg.skip_in, dtype=dtype)

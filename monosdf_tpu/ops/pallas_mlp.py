@@ -110,6 +110,33 @@ def positional_encoding_lanepad(x: jnp.ndarray, multires: int) -> jnp.ndarray:
     return coefs[0:1] * xs + coefs[1:2] * jnp.sin(xs) + coefs[2:3] * jnp.cos(xs)
 
 
+def positional_encoding_lanepad_sin(x: jnp.ndarray, multires: int) -> jnp.ndarray:
+    """Lane-padded positional encoding with ONE transcendental pass.
+
+    positional_encoding_lanepad costs sin+cos over all 128 lanes (7x the
+    39-lane encoding's transcendentals, measured +1.5 ms/step). This
+    variant folds cos into the same sin via phase: on cos lanes the matmul
+    produces f*x and a +pi/2 phase is added, so ``sin(xs + phase)`` covers
+    both sin and cos lanes — 128 sin calls/point vs the 39-lane path's 78
+    sin+cos, and the (N, 39) -> (N, 128) pad + layout copy per consumer
+    disappears.
+
+    NOT bitwise equal to positional_encoding: sin(f x + pi/2) differs from
+    cos(f x) by ~1 ulp of the (rounded) phase add. Use only where a ~1e-7
+    relative deviation is acceptable (the sampler's bf16 sweeps)."""
+    d0 = 3 * (1 + 2 * multires)
+    d0p = _round_up(d0, _LANE)
+    G, coefs = pe_consts(multires, d0p)
+    phase = (jnp.pi / 2.0) * coefs[2:3]  # +pi/2 on cos lanes only
+    xs = jax.lax.dot_general(
+        x, G[:3], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    sin_mask = coefs[1:2] + coefs[2:3]  # 1 on sin AND cos lanes
+    return coefs[0:1] * xs + sin_mask * jnp.sin(xs + phase)
+
+
 def kernel_pe(x_blk, G, coefs, tangents: bool):
     """In-kernel positional encoding from raw-xyz lanes.
 

@@ -21,6 +21,7 @@ def main():
     ap.add_argument("--out", default="/tmp/prof")
     ap.add_argument("--diff", default="pallas")
     ap.add_argument("--sampler", default="pallas")
+    ap.add_argument("--rgb", default="jnp")
     args = ap.parse_args()
 
     import jax
@@ -51,6 +52,7 @@ def main():
         scene_bounding_sphere=1.1,
         compute_dtype="bfloat16", mixed_precision=True,
         sampler_backend=args.sampler, diff_backend=args.diff,
+        rgb_backend=args.rgb,
     )
     params = init_monosdf(jax.random.PRNGKey(0), cfg)
     opt = make_optimizer(OptimConfig(learning_rate=5e-4, decay_steps=150_000))
