@@ -60,6 +60,7 @@ def main():
         mixed_precision=True,  # bf16 matmuls (f32 accum) in the diff'd path too
         diff_backend="pallas",  # hand-written VMEM-resident backward (ops/pallas_sdf_grad.py)
         sampler_backend="pallas",  # fused VMEM sweep MLP (ops/pallas_mlp.py)
+        rgb_backend="fused",  # wide-I/O radiance kernel, in-kernel normalize (ops/pallas_rgb_grad.py)
     )
 
     params = init_monosdf(jax.random.PRNGKey(0), cfg)

@@ -197,7 +197,8 @@ def sdf_feat_grad(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray, dtype=No
 
 
 def sdf_feat_grad_pallas(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray,
-                         dtype=None, block: int = 512):
+                         dtype=None, block: int = 512,
+                         wide_grad: bool = False):
     """sdf_feat_grad with fully-fused Pallas kernels
     (ops/pallas_sdf_grad.py): the positional encoding, its basis tangents,
     and the stacked primal+tangent MLP run in one VMEM-resident forward that
@@ -221,12 +222,12 @@ def sdf_feat_grad_pallas(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray,
     sdf, feat, grad = sdf_mlp_with_grad(
         tuple(ws), tuple(bs), xf, cfg.multires, tuple(cfg.skip_in),
         dtype_name, block, True, float(cfg.sdf_bounding_sphere),
-        float(cfg.sphere_scale),
+        float(cfg.sphere_scale), wide_grad,
     )
     return (
         sdf.reshape(*prefix, 1),
         feat.reshape(*prefix, -1),
-        grad.reshape(*prefix, 3),
+        grad if wide_grad else grad.reshape(*prefix, 3),
     )
 
 
@@ -299,6 +300,41 @@ def rendering_apply_pallas(
     )
     out = jax.nn.relu(out) if cfg.if_hdr else jax.nn.sigmoid(out)
     return {"rgb": out}
+
+
+def rendering_apply_pallas_wide(
+    params: dict,
+    cfg: "RenderingNetConfig",
+    points: jnp.ndarray,
+    g128: jnp.ndarray,
+    view_dirs: jnp.ndarray,
+    feature_vectors: jnp.ndarray,
+    image_code: jnp.ndarray | None = None,
+    dtype=None,
+    block: int = 1024,
+) -> dict:
+    """Fused wide-I/O radiance (idr non-spec): takes the SDF kernel's RAW
+    (N, 128) gradient block, normalizes it IN-KERNEL, and returns both
+    the rgb and the (N, 128) normals — the whole gradient path flows
+    kernel-to-kernel with no (N, 3) slice/normalize/pad chain in XLA
+    (ops/pallas_rgb_grad.py radiance_norm)."""
+    from ..ops.pallas_mlp import effective_linear_weights
+    from ..ops.pallas_rgb_grad import radiance_norm
+
+    assert not cfg.spec and cfg.mode == "idr"
+    if cfg.multires_view > 0:
+        view_dirs = positional_encoding(view_dirs, cfg.multires_view)
+    sv = jnp.concatenate([points, view_dirs], axis=-1)
+    code = image_code if cfg.per_image_code else None
+
+    ws, bs = effective_linear_weights(params, cfg.num_layers)
+    dtype_name = jnp.dtype(dtype).name if dtype is not None else ""
+    out, normals128 = radiance_norm(
+        tuple(ws), tuple(bs), g128, sv, feature_vectors, code,
+        sv.shape[1], dtype_name, block,
+    )
+    out = jax.nn.relu(out) if cfg.if_hdr else jax.nn.sigmoid(out)
+    return {"rgb": out, "normals128": normals128}
 
 
 def sdf_gradient(

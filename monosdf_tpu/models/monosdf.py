@@ -60,7 +60,10 @@ class MonoSDFConfig:
     # 'jnp' or 'pallas': backend for the radiance MLP (fwd + VJP with input
     # cotangents, ops/pallas_rgb_grad.py). Measured perf-NEUTRAL at the
     # 1024-ray budget (XLA already handles the small trunk well) — kept as
-    # an option for larger batches; non-spec modes only.
+    # an option for larger batches; non-spec modes only. 'fused' (requires
+    # diff_backend='pallas', idr non-spec) routes the SDF kernel's raw
+    # (N, 128) gradient block into a radiance kernel that normalizes
+    # IN-KERNEL and emits both rgb and normals — no (N, 3) gradient glue.
     rgb_backend: str = "jnp"
     # compute the sweep kernel's positional encoding in-kernel from raw xyz
     # (removes the per-sweep XLA PE fusion + lane pad + layout copy at the
@@ -159,11 +162,21 @@ def render_rays(
         else None
     )
     use_pallas_diff = cfg.diff_backend == "pallas" and not cfg.implicit.use_grid
+    # fully-fused gradient path: the SDF kernel's raw (N, 128) grad block
+    # flows into the radiance kernel which normalizes IN-KERNEL and routes
+    # the summed normal cotangents straight back — no (N, 3) glue in XLA
+    rgb_fused = (
+        cfg.rgb_backend == "fused"
+        and use_pallas_diff
+        and not cfg.rendering.spec
+        and cfg.rendering.mode == "idr"
+    )
     if use_pallas_diff:
         from .fields import sdf_feat_grad_pallas
 
         sdf, feature_vectors, gradients = sdf_feat_grad_pallas(
-            params["implicit"], cfg.implicit, points_flat, dtype=main_dtype
+            params["implicit"], cfg.implicit, points_flat, dtype=main_dtype,
+            wide_grad=rgb_fused,
         )
     else:
         sdf, feature_vectors, gradients = sdf_feat_grad(
@@ -178,7 +191,16 @@ def render_rays(
 
     # the radiance kernel is independent of the implicit net's mode (it
     # also applies in grid mode), unlike the SDF kernel above
-    if (
+    if rgb_fused:
+        from .fields import rendering_apply_pallas_wide
+
+        render_out = rendering_apply_pallas_wide(
+            params["rendering"], cfg.rendering,
+            points_flat, gradients, dirs_flat, feature_vectors, code_flat,
+            dtype=main_dtype,
+        )
+        normals = render_out["normals128"][:, :3].reshape(R, S, 3)
+    elif (
         cfg.rgb_backend == "pallas"
         and not cfg.rendering.spec
         and cfg.rendering.mode == "idr"
@@ -202,10 +224,11 @@ def render_rays(
     density = laplace_density(sdf[..., 0].reshape(R, S), beta)
     weights = volume_rendering_weights(z_vals, density)
 
-    # guarded norm: jnp.linalg.norm has a NaN gradient at exactly-zero input
-    grad_sq = jnp.sum(gradients * gradients, axis=-1, keepdims=True)
-    normals = gradients / (jnp.sqrt(jnp.maximum(grad_sq, 1e-24)) + 1e-6)
-    normals = normals.reshape(R, S, 3)
+    if not rgb_fused:
+        # guarded norm: jnp.linalg.norm has a NaN grad at exactly-zero input
+        grad_sq = jnp.sum(gradients * gradients, axis=-1, keepdims=True)
+        normals = gradients / (jnp.sqrt(jnp.maximum(grad_sq, 1e-24)) + 1e-6)
+        normals = normals.reshape(R, S, 3)
 
     rgb_values, depth_values, normal_map = render_ray_outputs(
         weights, z_vals, rgb, normals, rays["depth_scale"]

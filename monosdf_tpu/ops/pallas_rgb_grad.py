@@ -600,6 +600,349 @@ def _rs_bwd(ds, dtype_name, block, res, co):
 radiance_split.defvjp(_rs_fwd, _rs_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Wide-I/O radiance kernel (v3): in-kernel gradient normalization
+#
+# Takes the SDF kernel's RAW (N, 128) gradient block (wide_grad=True) and
+# normalizes it in-kernel (reference monosdf.py guarded-norm semantics:
+# n = g / (sqrt(max(|g|^2, 1e-24)) + 1e-6)), emitting BOTH the radiance and
+# the normalized normals as wide blocks. The VJP sums the two normal-
+# consumer cotangents (radiance input + normal_map) and runs the normalize
+# backward in-kernel, returning d_g at the same (N, 128) width — the whole
+# gradient path flows kernel-to-kernel with no (N, 3) slice/pad/normalize
+# chain on the XLA side (~1 ms/step of layout glue at 1024 rays).
+# ---------------------------------------------------------------------------
+
+
+def _normalize_wide(g):
+    """Guarded lane-wise normalization of a (b, 128) grad block (lanes 0-2
+    data, rest zero): n = g / (sqrt(max(sum g^2, 1e-24)) + 1e-6)."""
+    s = jnp.sum(g * g, axis=1, keepdims=True)
+    q = jnp.sqrt(jnp.maximum(s, 1e-24)) + 1e-6
+    return g / q, s, q
+
+
+def _radiance_norm_fwd_pallas(ws, bs, g128, sv, feat, code, ds, dtype, block,
+                              interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    N = g128.shape[0]
+    L = len(ws)
+    b = block
+    n_pad = -(-max(N, 1) // b) * b
+    act = jnp.dtype(dtype) if dtype is not None else jnp.float32
+    op = act
+    code_dim = 0 if code is None else code.shape[1]
+    F = feat.shape[1]
+    Fp = _r128(F)
+
+    in_true, out_true, in_pad, out_pad = _pads(ws)
+    w0_parts = _split_w0(ws[0], ds, 3, code_dim)
+    wp = [
+        jnp.pad(ws[l].astype(jnp.float32),
+                ((0, in_pad[l] - in_true[l]), (0, out_pad[l] - out_true[l])))
+        for l in range(1, L)
+    ]
+    bp = [
+        jnp.pad(bs[l].astype(jnp.float32), (0, out_pad[l] - out_true[l]))[None]
+        for l in range(L)
+    ]
+
+    def rowpad(a, width=None):
+        w = a.shape[1] if width is None else width
+        return jnp.pad(a, ((0, n_pad - N), (0, w - a.shape[1])))
+
+    g_p = rowpad(g128.astype(jnp.float32), _LANE)
+    sv_p = rowpad(sv.astype(jnp.float32), _LANE)
+    f_p = rowpad(feat.astype(act), Fp)
+    x_ops = [g_p, sv_p, f_p]
+    if code_dim:
+        x_ops.append(rowpad(code.astype(jnp.float32), _LANE))
+    n_x = len(x_ops)
+
+    def kernel(*refs):
+        x_refs = refs[:n_x]
+        w0_refs = refs[n_x:2 * n_x]
+        w_refs = refs[2 * n_x:2 * n_x + L - 1]
+        b_refs = refs[2 * n_x + L - 1:2 * n_x + 2 * L - 1]
+        o_ref, nrm_ref = refs[-2], refs[-1]
+
+        def dot(a, w_):
+            return jax.lax.dot_general(
+                a.astype(op), w_.astype(op), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        n, _, _ = _normalize_wide(x_refs[0][:])
+        nrm_ref[:] = n
+        acc = dot(n, w0_refs[0][:])
+        for k in range(1, n_x):
+            acc += dot(x_refs[k][:], w0_refs[k][:])
+        y = acc.astype(act) + b_refs[0][:].astype(act)
+        A = jnp.maximum(y.astype(jnp.float32), 0.0).astype(act)
+        for l in range(1, L):
+            acc = dot(A, w_refs[l - 1][:])
+            if l < L - 1:
+                y = acc.astype(act) + b_refs[l][:].astype(act)
+                A = jnp.maximum(y.astype(jnp.float32), 0.0).astype(act)
+            else:
+                A = acc + b_refs[l][:]
+        o_ref[:] = A.astype(jnp.float32)
+
+    in_specs = (
+        [pl.BlockSpec((b, x.shape[1]), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM) for x in x_ops]
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for w in w0_parts]
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for w in wp]
+        + [pl.BlockSpec(p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for p in bp]
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_pad // b,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((b, out_pad[-1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, _LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, out_pad[-1]), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, _LANE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*x_ops, *w0_parts, *wp, *bp)
+    return outs[0][:N, : out_true[-1]], outs[1][:N]
+
+
+def _radiance_norm_bwd_pallas(ws, bs, g128, sv, feat, code, co, cn, ds,
+                              dtype, block, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    N = g128.shape[0]
+    L = len(ws)
+    b = block
+    n_pad = -(-max(N, 1) // b) * b
+    act = jnp.dtype(dtype) if dtype is not None else jnp.float32
+    op = act
+    code_dim = 0 if code is None else code.shape[1]
+    F = feat.shape[1]
+    Fp = _r128(F)
+
+    in_true, out_true, in_pad, out_pad = _pads(ws)
+    w0_parts = _split_w0(ws[0], ds, 3, code_dim)
+    wp = [
+        jnp.pad(ws[l].astype(jnp.float32),
+                ((0, in_pad[l] - in_true[l]), (0, out_pad[l] - out_true[l])))
+        for l in range(1, L)
+    ]
+    bp = [
+        jnp.pad(bs[l].astype(jnp.float32), (0, out_pad[l] - out_true[l]))[None]
+        for l in range(L)
+    ]
+
+    def rowpad(a, width=None):
+        w = a.shape[1] if width is None else width
+        return jnp.pad(a, ((0, n_pad - N), (0, w - a.shape[1])))
+
+    g_p = rowpad(g128.astype(jnp.float32), _LANE)
+    sv_p = rowpad(sv.astype(jnp.float32), _LANE)
+    f_p = rowpad(feat.astype(act), Fp)
+    x_ops = [g_p, sv_p, f_p]
+    if code_dim:
+        x_ops.append(rowpad(code.astype(jnp.float32), _LANE))
+    n_x = len(x_ops)
+    co_p = rowpad(co.astype(jnp.float32), out_pad[-1])
+    cn_p = rowpad(cn.astype(jnp.float32), _LANE)
+
+    def kernel(*refs):
+        x_refs = refs[:n_x]
+        co_ref, cn_ref = refs[n_x], refs[n_x + 1]
+        rest = refs[n_x + 2:]
+        w0_refs, rest = rest[:n_x], rest[n_x:]
+        w_refs, rest = rest[:L - 1], rest[L - 1:]
+        b_refs, rest = rest[:L], rest[L:]
+        dw0_refs, rest = rest[:n_x], rest[n_x:]
+        dw_refs, rest = rest[:L - 1], rest[L - 1:]
+        db_refs, rest = rest[:L], rest[L:]
+        dg_ref, df_ref = rest[0], rest[1]
+        rest = rest[2:]
+        dc_ref = rest[0] if code_dim else None
+        y_refs = (rest[1:] if code_dim else rest)[: L - 1]
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            for r in list(dw0_refs) + list(dw_refs) + list(db_refs):
+                r[:] = jnp.zeros_like(r)
+
+        def dot(a, w_, transpose_w=False):
+            dims = (((1,), (1,)), ((), ())) if transpose_w else (((1,), (0,)), ((), ()))
+            return jax.lax.dot_general(a.astype(op), w_.astype(op), dims,
+                                       preferred_element_type=jnp.float32)
+
+        def dot_accum(a, ct):
+            return jax.lax.dot_general(
+                a.astype(op), ct.astype(op), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        # forward recompute with the in-kernel normalization
+        g = x_refs[0][:]
+        n, s, q = _normalize_wide(g)
+        acc = dot(n, w0_refs[0][:])
+        for k in range(1, n_x):
+            acc += dot(x_refs[k][:], w0_refs[k][:])
+        y = acc.astype(act) + b_refs[0][:].astype(act)
+        y_refs[0][:] = y
+        A = jnp.maximum(y.astype(jnp.float32), 0.0).astype(act)
+        for l in range(1, L - 1):
+            acc = dot(A, w_refs[l - 1][:])
+            y = acc.astype(act) + b_refs[l][:].astype(act)
+            y_refs[l][:] = y
+            A = jnp.maximum(y.astype(jnp.float32), 0.0).astype(act)
+
+        # reverse sweep through the trunk
+        ct = co_ref[:]
+        for l in range(L - 1, 0, -1):
+            if l < L - 1:
+                yv = y_refs[l][:].astype(jnp.float32)
+                ct = ct * (yv > 0).astype(jnp.float32)
+            A_in = jnp.maximum(y_refs[l - 1][:].astype(jnp.float32), 0.0)
+            dw_refs[l - 1][:] += dot_accum(A_in, ct)
+            db_refs[l][:] += jnp.sum(ct, axis=0, keepdims=True)
+            ct = dot(ct, w_refs[l - 1][:], transpose_w=True)
+        yv = y_refs[0][:].astype(jnp.float32)
+        ct = ct * (yv > 0).astype(jnp.float32)
+        # layer-0 weight grads need the actual matmul inputs (n for block 0)
+        dw0_refs[0][:] += dot_accum(n, ct)
+        for k in range(1, n_x):
+            dw0_refs[k][:] += dot_accum(x_refs[k][:], ct)
+        db_refs[0][:] += jnp.sum(ct, axis=0, keepdims=True)
+        df_ref[:] = dot(ct, w0_refs[2][:], transpose_w=True).astype(
+            df_ref.dtype
+        )
+        if code_dim:
+            dc_ref[:] = dot(ct, w0_refs[3][:], transpose_w=True)
+
+        # normalize backward: total normal cotangent = normal_map branch +
+        # radiance-input branch, then d_g = c/q - g * (<c,g> / (q^2 r)) [s>eps]
+        dn = cn_ref[:] + dot(ct, w0_refs[0][:], transpose_w=True)
+        r = jnp.sqrt(jnp.maximum(s, 1e-24))
+        live = (s > 1e-24).astype(jnp.float32)
+        dot_cg = jnp.sum(dn * g, axis=1, keepdims=True)
+        dg_ref[:] = dn / q - g * (dot_cg / (q * q * r)) * live
+
+    in_specs = (
+        [pl.BlockSpec((b, x.shape[1]), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM) for x in x_ops]
+        + [pl.BlockSpec((b, out_pad[-1]), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((b, _LANE), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for w in w0_parts]
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for w in wp]
+        + [pl.BlockSpec(p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for p in bp]
+    )
+    out_specs = (
+        [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+         for w in w0_parts]
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for w in wp]
+        + [pl.BlockSpec(p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for p in bp]
+        + [pl.BlockSpec((b, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+           pl.BlockSpec((b, Fp), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        + ([pl.BlockSpec((b, _LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)] if code_dim else [])
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in w0_parts]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wp]
+        + [jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in bp]
+        + [jax.ShapeDtypeStruct((n_pad, _LANE), jnp.float32),
+           jax.ShapeDtypeStruct((n_pad, Fp), act)]
+        + ([jax.ShapeDtypeStruct((n_pad, _LANE), jnp.float32)]
+           if code_dim else [])
+    )
+    scratch_shapes = [pltpu.VMEM((b, out_pad[l]), act) for l in range(L - 1)]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_pad // b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(*x_ops, co_p, cn_p, *w0_parts, *wp, *bp)
+
+    dw0 = _merge_dw0(list(outs[:n_x]), ds, in_true[0], out_true[0], 3,
+                     code_dim)
+    dws = [dw0] + [
+        outs[n_x + l][: in_true[l + 1], : out_true[l + 1]]
+        for l in range(L - 1)
+    ]
+    dbs = [outs[n_x + L - 1 + l][0, : out_true[l]] for l in range(L)]
+    dg = outs[n_x + 2 * L - 1][:N]
+    df = outs[n_x + 2 * L][:N, :F]
+    dc = outs[n_x + 2 * L + 1][:N, :code_dim] if code_dim else None
+    return dws, dbs, dg, df, dc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def radiance_norm(ws, bs, g128, sv, feat, code, ds: int, dtype_name: str,
+                  block: int):
+    """Wide-I/O radiance trunk with IN-KERNEL gradient normalization.
+
+    g128 (N, 128): the SDF kernel's raw gradient block (wide_grad=True).
+    Returns (rgb_pre (N, 3), normals128 (N, 128) f32). The VJP sums the
+    cotangents of both normal consumers and emits d_g at (N, 128) — feed
+    it straight back as the SDF kernel's c_grad."""
+    dtype = jnp.dtype(dtype_name) if dtype_name else None
+    return _radiance_norm_fwd_pallas(list(ws), list(bs), g128, sv, feat,
+                                     code, ds, dtype, block, None)
+
+
+def _rn_fwd(ws, bs, g128, sv, feat, code, ds, dtype_name, block):
+    out = radiance_norm(ws, bs, g128, sv, feat, code, ds, dtype_name, block)
+    return out, (ws, bs, g128, sv, feat, code)
+
+
+def _rn_bwd(ds, dtype_name, block, res, cts):
+    ws, bs, g128, sv, feat, code = res
+    co, cn = cts
+    dtype = jnp.dtype(dtype_name) if dtype_name else None
+    dws, dbs, dg, df, dc = _radiance_norm_bwd_pallas(
+        list(ws), list(bs), g128, sv, feat, code, co, cn, ds, dtype, block,
+        None,
+    )
+    return (
+        tuple(dw.astype(w.dtype) for dw, w in zip(dws, ws)),
+        tuple(db.astype(b_.dtype) for db, b_ in zip(dbs, bs)),
+        dg.astype(g128.dtype),
+        jnp.zeros_like(sv),
+        df.astype(feat.dtype),
+        None if code is None else dc.astype(code.dtype),
+    )
+
+
+radiance_norm.defvjp(_rn_fwd, _rn_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def mlp_with_input_grad(ws, bs, h0, dtype_name: str, block: int):
     """ReLU-MLP forward (raw last-layer pre-activation) with a Pallas

@@ -225,7 +225,8 @@ def _clamp_fwd(x_blk, Zs, gcols_pad, C_ref, sphere_scale, bounding_sphere):
 
 def _fwd_pallas(ws, bs, x, skip_in: tuple, multires: int, dtype, block: int,
                 interpret: bool | None, save_z: bool,
-                bounding_sphere: float = 0.0, sphere_scale: float = 1.0):
+                bounding_sphere: float = 0.0, sphere_scale: float = 1.0,
+                wide_grad: bool = False):
     """(sdf (N, 1) f32, feat (N, d_out-1) act-dtype, grad (N, 3) f32)[, zs]:
     the stacked primal+tangent forward as one VMEM-resident kernel over raw
     points x (N, 3).
@@ -369,7 +370,7 @@ def _fwd_pallas(ws, bs, x, skip_in: tuple, multires: int, dtype, block: int,
     )(x_p, G, coefs, *([C] if clamp else []), *wp, *bp)
     sdf = outs[0][:N, :1]
     feat = outs[1][:N, : out_true[-1] - 1]
-    g = outs[2][:N, :3]
+    g = outs[2][:N] if wide_grad else outs[2][:N, :3]
     if clamp:
         flag = outs[0][:N, 1:2]  # take-MLP indicator for the backward
     else:
@@ -428,7 +429,7 @@ def _bwd_pallas(ws, bs, x, zs, c_sdf, c_feat, c_grad, skip_in: tuple,
                    ((0, n_pad - N), (0, fpad - c_feat.shape[1])))
     cs_p = jnp.pad(c_sdf.astype(act_dtype), ((0, n_pad - N), (0, 0)))
     cg_p = jnp.pad(c_grad.astype(act_dtype),
-                   ((0, n_pad - N), (0, _LANE - 3)))
+                   ((0, n_pad - N), (0, _LANE - c_grad.shape[1])))
     gated = flag is not None
     if gated:
         fl_p = jnp.pad(flag.astype(act_dtype), ((0, n_pad - N), (0, 0)))
@@ -651,10 +652,11 @@ def _bwd_pallas(ws, bs, x, zs, c_sdf, c_feat, c_grad, skip_in: tuple,
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def sdf_mlp_with_grad(ws, bs, x, multires: int, skip_in: tuple,
                       dtype_name: str, block: int, save_z: bool = True,
-                      bounding_sphere: float = 0.0, sphere_scale: float = 1.0):
+                      bounding_sphere: float = 0.0, sphere_scale: float = 1.0,
+                      wide_grad: bool = False):
     """(sdf (N, 1) f32, feat (N, d_out-1), grad (N, 3) f32) of the SDF MLP
     over raw points, Pallas fwd + backward. feat is at the activation dtype
     (bf16 under mixed precision — its consumers cast there anyway).
@@ -667,7 +669,10 @@ def sdf_mlp_with_grad(ws, bs, x, multires: int, skip_in: tuple,
     skips its forward recompute. bounding_sphere > 0 applies the
     bounding-sphere clamp to sdf AND grad in-kernel (reference
     network.py:115-118), with the VJP gating cotangents by the take-MLP
-    flag the forward stashes.
+    flag the forward stashes. wide_grad: return grad as the kernel's raw
+    (N, 128) lane block (lanes 0-2 = d-grad, rest zero) and accept its
+    cotangent at the same width — lets a downstream wide-I/O consumer (the
+    radiance kernel) skip every (N, 3) slice/pad on the grad path.
 
     The VJP produces parameter gradients only; the x cotangent is ZERO
     (sample points are stop-gradient'ed in every reference loss).
@@ -676,34 +681,34 @@ def sdf_mlp_with_grad(ws, bs, x, multires: int, skip_in: tuple,
     sdf, feat, g, _ = _fwd_pallas(
         list(ws), list(bs), x, skip_in, multires, dtype, block, None,
         save_z=False, bounding_sphere=bounding_sphere,
-        sphere_scale=sphere_scale,
+        sphere_scale=sphere_scale, wide_grad=wide_grad,
     )
     return sdf, feat, g
 
 
 def _fwd(ws, bs, x, multires, skip_in, dtype_name, block, save_z,
-         bounding_sphere, sphere_scale):
+         bounding_sphere, sphere_scale, wide_grad):
     dtype = jnp.dtype(dtype_name) if dtype_name else None
     if save_z:
         sdf, feat, g, flag, zs = _fwd_pallas(
             list(ws), list(bs), x, skip_in, multires, dtype, block, None,
             save_z=True, bounding_sphere=bounding_sphere,
-            sphere_scale=sphere_scale,
+            sphere_scale=sphere_scale, wide_grad=wide_grad,
         )
     else:
         sdf, feat, g, flag = _fwd_pallas(
             list(ws), list(bs), x, skip_in, multires, dtype, block, None,
             save_z=False, bounding_sphere=bounding_sphere,
-            sphere_scale=sphere_scale,
+            sphere_scale=sphere_scale, wide_grad=wide_grad,
         )
         zs = None
     return (sdf, feat, g), (ws, bs, x, zs, flag)
 
 
 def _bwd(multires, skip_in, dtype_name, block, save_z, bounding_sphere,
-         sphere_scale, res, cts):
+         sphere_scale, wide_grad, res, cts):
     ws, bs, x, zs, flag = res
-    c_sdf, c_feat, c_grad = cts  # (N, 1), (N, d_out-1), (N, 3)
+    c_sdf, c_feat, c_grad = cts  # (N, 1), (N, d_out-1), (N, 3) or (N, 128)
     dtype = jnp.dtype(dtype_name) if dtype_name else None
     dws, dbs = _bwd_pallas(
         list(ws), list(bs), x, zs, c_sdf, c_feat, c_grad, skip_in, multires,

@@ -111,6 +111,8 @@ class TestBackwardParity:
 
 
 class TestRenderIntegration:
+    rgb_backend = "pallas"
+
     def test_full_model_grads_match(self):
         """render_rays + loss param grads: jnp vs full-pallas diff path with
         per-image codes (the code embedding gradient flows through dh0)."""
@@ -137,7 +139,7 @@ class TestRenderIntegration:
             scene_bounding_sphere=1.1,
         )
         pall = dataclasses.replace(
-            base, diff_backend="pallas", rgb_backend="pallas"
+            base, diff_backend="pallas", rgb_backend=self.rgb_backend
         )
         params = init_monosdf(jax.random.PRNGKey(0), base)
         rng = np.random.default_rng(0)
@@ -173,3 +175,12 @@ class TestRenderIntegration:
         np.testing.assert_allclose(
             np.asarray(f1), np.asarray(f2), atol=5e-4, rtol=2e-3
         )
+
+
+class TestRenderIntegrationFused(TestRenderIntegration):
+    """Same full-model parity but through the wide-I/O 'fused' path: the SDF
+    kernel's raw (N, 128) gradient block feeds radiance_norm, which
+    normalizes in-kernel and routes the summed normal cotangents straight
+    back (rgb_backend='fused')."""
+
+    rgb_backend = "fused"
