@@ -655,8 +655,11 @@ def _radiance_norm_fwd_pallas(ws, bs, g128, sv, feat, code, ds, dtype, block,
         w = a.shape[1] if width is None else width
         return jnp.pad(a, ((0, n_pad - N), (0, w - a.shape[1])))
 
+    # g stays f32 (the in-kernel normalization needs full precision);
+    # sv/cotangents ship at the act dtype — every in-kernel use casts to
+    # the matmul operand dtype anyway, and the pads/copies halve at bf16
     g_p = rowpad(g128.astype(jnp.float32), _LANE)
-    sv_p = rowpad(sv.astype(jnp.float32), _LANE)
+    sv_p = rowpad(sv.astype(act), _LANE)
     f_p = rowpad(feat.astype(act), Fp)
     x_ops = [g_p, sv_p, f_p]
     if code_dim:
@@ -754,15 +757,18 @@ def _radiance_norm_bwd_pallas(ws, bs, g128, sv, feat, code, co, cn, ds,
         w = a.shape[1] if width is None else width
         return jnp.pad(a, ((0, n_pad - N), (0, w - a.shape[1])))
 
+    # g stays f32 (the in-kernel normalization needs full precision);
+    # sv/cotangents ship at the act dtype — every in-kernel use casts to
+    # the matmul operand dtype anyway, and the pads/copies halve at bf16
     g_p = rowpad(g128.astype(jnp.float32), _LANE)
-    sv_p = rowpad(sv.astype(jnp.float32), _LANE)
+    sv_p = rowpad(sv.astype(act), _LANE)
     f_p = rowpad(feat.astype(act), Fp)
     x_ops = [g_p, sv_p, f_p]
     if code_dim:
         x_ops.append(rowpad(code.astype(jnp.float32), _LANE))
     n_x = len(x_ops)
-    co_p = rowpad(co.astype(jnp.float32), out_pad[-1])
-    cn_p = rowpad(cn.astype(jnp.float32), _LANE)
+    co_p = rowpad(co.astype(act), out_pad[-1])
+    cn_p = rowpad(cn.astype(act), _LANE)
 
     def kernel(*refs):
         x_refs = refs[:n_x]
