@@ -322,7 +322,9 @@ def rendering_apply_pallas_wide(
     from ..ops.pallas_rgb_grad import radiance_norm
 
     assert not cfg.spec and cfg.mode == "idr"
-    if cfg.multires_view > 0:
+    if cfg.multires_view > 0 and view_dirs.shape[-1] == 3:
+        # (callers may pass view_dirs ALREADY encoded — e.g. per-ray PE
+        # repeated over samples, 98x less trig for identical values)
         view_dirs = positional_encoding(view_dirs, cfg.multires_view)
     sv = jnp.concatenate([points, view_dirs], axis=-1)
     code = image_code if cfg.per_image_code else None

@@ -192,11 +192,20 @@ def render_rays(
     # the radiance kernel is independent of the implicit net's mode (it
     # also applies in grid mode), unlike the SDF kernel above
     if rgb_fused:
-        from .fields import rendering_apply_pallas_wide
+        from .fields import positional_encoding, rendering_apply_pallas_wide
 
+        # view dirs are constant along a ray: encode (R, 3) once and repeat
+        # over samples — identical values, 1/S of the trig and none of the
+        # flat-dirs layout copies
+        dirs_in = dirs_flat
+        if cfg.rendering.multires_view > 0:
+            dirs_in = jnp.repeat(
+                positional_encoding(rays_d, cfg.rendering.multires_view)[:, None, :],
+                S, axis=1,
+            ).reshape(R * S, -1)
         render_out = rendering_apply_pallas_wide(
             params["rendering"], cfg.rendering,
-            points_flat, gradients, dirs_flat, feature_vectors, code_flat,
+            points_flat, gradients, dirs_in, feature_vectors, code_flat,
             dtype=main_dtype,
         )
         normals = render_out["normals128"][:, :3].reshape(R, S, 3)
