@@ -54,6 +54,7 @@ def main():
         sampler=SamplerConfig(
             scene_bounding_sphere=1.1, N_samples=64, N_samples_eval=128,
             N_samples_extra=32, max_total_iters=5, intersection="cube",
+            machinery="pallas",  # fused bisection/error-bound/pdf kernel (ops/pallas_sampler.py)
         ),
         scene_bounding_sphere=1.1,
         compute_dtype="bfloat16",

@@ -62,6 +62,15 @@ class SamplerConfig:
     # this (it is carried, unused, from VolSDF); kept for capability parity.
     inverse_sphere_bg: bool = False
     N_samples_inverse_sphere: int = 0
+    # 'jnp' | 'pallas': backend for the per-iteration beta-bisection /
+    # error-bound / pdf machinery. 'pallas' fuses the 11 error-bound
+    # evaluations + density/transmittance/pdf into ONE kernel per iteration
+    # (ops/pallas_sampler.py) with cumsums as triangular MXU matmuls at the
+    # machinery_dtype; outputs steer sample placement only (stop-gradient'ed,
+    # same deviation class as the bf16 sweeps). 'jnp' remains the
+    # torch-parity oracle.
+    machinery: str = "jnp"
+    machinery_dtype: str = "bfloat16"
 
     @property
     def far_value(self) -> float:
@@ -327,7 +336,55 @@ def error_bound_z_vals(
     samples = z_vals  # final-draw carrier (matches reference variable role)
 
     # --- Algorithm 1, statically unrolled -----------------------------------
+    use_pallas_machinery = cfg.machinery == "pallas"
     for it in range(cfg.max_total_iters):
+        last = it == cfg.max_total_iters - 1
+        if use_pallas_machinery:
+            from .pallas_sampler import sampler_iter_machinery_nograd
+
+            dists = z_vals[:, 1:] - z_vals[:, :-1]
+            dists_tail = jnp.concatenate(
+                [dists, jnp.full_like(dists[:, :1], 1e10)], axis=-1
+            )
+            d_star_t = jnp.pad(_d_star(z_vals, sdf), ((0, 0), (0, 1)))
+            beta_col, pdf_full = sampler_iter_machinery_nograd(
+                sdf, dists_tail, d_star_t, beta[:, None], beta0,
+                eps=cfg.eps, add_tiny=cfg.add_tiny, last=last,
+                beta_iters=cfg.beta_iters, dtype=jnp.dtype(cfg.machinery_dtype),
+            )
+            beta = beta_col[:, 0]
+            pdf = pdf_full[:, :-1]
+            if not last:
+                u = jnp.tile(
+                    jnp.linspace(0.0, 1.0, cfg.N_samples_eval, dtype=dtype)[None],
+                    (R, 1),
+                )
+                new_z = _sample_pdf(z_vals, pdf, u)
+                new_sdf = eval_sdf(new_z)
+                impl = cfg.merge_impl
+                if impl == "auto":
+                    k_tot = z_vals.shape[1] + new_z.shape[1]
+                    pow2 = (k_tot & (k_tot - 1)) == 0
+                    impl = "bitonic" if (pow2 and k_tot >= 512) else "sort"
+                merge = {
+                    "sort": _merge_sorted_sort,
+                    "bitonic": _merge_sorted_bitonic,
+                    "onehot": _merge_sorted,
+                }[impl]
+                z_vals, sdf = merge(z_vals, sdf, new_z, new_sdf)
+            else:
+                if training:
+                    u = jax.random.uniform(
+                        k_final, (R, cfg.N_samples), dtype=dtype
+                    )
+                else:
+                    u = jnp.tile(
+                        jnp.linspace(0.0, 1.0, cfg.N_samples, dtype=dtype)[None],
+                        (R, 1),
+                    )
+                samples = _sample_pdf(z_vals, pdf, u)
+            continue
+
         dists = z_vals[:, 1:] - z_vals[:, :-1]
         d_star = _d_star(z_vals, sdf)
 
@@ -356,7 +413,6 @@ def error_bound_z_vals(
         transmittance = jnp.exp(-jnp.cumsum(shifted, axis=-1))
         weights = alpha * transmittance
 
-        last = it == cfg.max_total_iters - 1
         if not last:
             # Upsample N_samples_eval more points proportional to the error
             # bound (reference ray_sampler.py:181-194) with u = linspace.

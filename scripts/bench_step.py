@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--sampler", default="jnp")
     ap.add_argument("--rgb", default="jnp")
     ap.add_argument("--sweep_pe", action="store_true", help="in-kernel sweep PE")
+    ap.add_argument("--machinery", default="jnp")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--grid", action="store_true", help="hash-grid flagship config")
@@ -66,6 +67,7 @@ def main():
         sampler=SamplerConfig(
             scene_bounding_sphere=1.1, N_samples=64, N_samples_eval=128,
             N_samples_extra=32, max_total_iters=5, intersection="cube",
+            machinery=args.machinery,
         ),
         scene_bounding_sphere=1.1,
         compute_dtype="bfloat16" if not args.f32 else "float32",
@@ -106,7 +108,7 @@ def main():
 
     print(json.dumps({
         "rays": args.rays, "diff": args.diff, "sampler": args.sampler,
-        "rgb": args.rgb, "sweep_pe": args.sweep_pe,
+        "rgb": args.rgb, "sweep_pe": args.sweep_pe, "machinery": args.machinery,
         "grid": args.grid, "ms_per_step": round(1e3 * dt / args.iters, 2),
         "rays_per_s": round(args.rays * args.iters / dt, 1),
         "compile_s": round(compile_s, 1),
