@@ -198,7 +198,7 @@ def sdf_feat_grad(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray, dtype=No
 
 def sdf_feat_grad_pallas(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray,
                          dtype=None, block: int = 512,
-                         wide_grad: bool = False):
+                         wide_grad: bool = False, clamp_rows: int = -1):
     """sdf_feat_grad with fully-fused Pallas kernels
     (ops/pallas_sdf_grad.py): the positional encoding, its basis tangents,
     and the stacked primal+tangent MLP run in one VMEM-resident forward that
@@ -222,7 +222,7 @@ def sdf_feat_grad_pallas(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray,
     sdf, feat, grad = sdf_mlp_with_grad(
         tuple(ws), tuple(bs), xf, cfg.multires, tuple(cfg.skip_in),
         dtype_name, block, True, float(cfg.sdf_bounding_sphere),
-        float(cfg.sphere_scale), wide_grad,
+        float(cfg.sphere_scale), wide_grad, clamp_rows,
     )
     return (
         sdf.reshape(*prefix, 1),

@@ -69,6 +69,10 @@ class MonoSDFConfig:
     # (removes the per-sweep XLA PE fusion + lane pad + layout copy at the
     # cost of in-kernel trig) — only meaningful with sampler_backend=pallas
     sweep_pe_in_kernel: bool = False
+    # append the eikonal batch to the main point batch so ONE diff-kernel
+    # launch serves both (clamp_rows gates the bounding-sphere clamp off for
+    # the appended rows); pallas diff path only
+    fold_eikonal: bool = True
 
 
 def init_monosdf(key, cfg: MonoSDFConfig) -> dict:
@@ -171,13 +175,43 @@ def render_rays(
         and not cfg.rendering.spec
         and cfg.rendering.mode == "idr"
     )
+    # Eikonal points (training): uniform-in-box + near-surface + jittered
+    # neighbours (reference network.py:583-600). On the pallas diff path they
+    # are APPENDED to the main point batch so one kernel launch serves both —
+    # the separate 4096-point backward paid ~0.6 ms/step of per-block
+    # param-grad fixed cost. clamp_rows keeps their sdf/grad UNclamped
+    # (reference gradient_sdf vs get_outputs).
+    all_eik = None
+    if training:
+        bs = cfg.scene_bounding_sphere
+        eik_uniform = jax.random.uniform(
+            k_eik_uniform, (R, 3), minval=-bs, maxval=bs, dtype=rays_o.dtype
+        )
+        eik_near = rays_o + z_eik * rays_d
+        eik_points = jnp.concatenate([eik_uniform, eik_near], axis=0)
+        neighbours = eik_points + (
+            jax.random.uniform(k_eik_neigh, eik_points.shape, dtype=rays_o.dtype) - 0.5
+        ) * 0.01
+        all_eik = jnp.concatenate([eik_points, neighbours], axis=0)
+
+    n_main = points_flat.shape[0]
+    fold_eik = training and use_pallas_diff and cfg.fold_eikonal
     if use_pallas_diff:
         from .fields import sdf_feat_grad_pallas
 
-        sdf, feature_vectors, gradients = sdf_feat_grad_pallas(
-            params["implicit"], cfg.implicit, points_flat, dtype=main_dtype,
-            wide_grad=rgb_fused,
+        pts_in = (
+            jnp.concatenate([points_flat, all_eik], axis=0)
+            if fold_eik else points_flat
         )
+        sdf, feature_vectors, gradients = sdf_feat_grad_pallas(
+            params["implicit"], cfg.implicit, pts_in, dtype=main_dtype,
+            wide_grad=rgb_fused, clamp_rows=n_main if fold_eik else -1,
+        )
+        if fold_eik:
+            grad_theta_all = gradients[n_main:, :3]
+            sdf = sdf[:n_main]
+            feature_vectors = feature_vectors[:n_main]
+            gradients = gradients[:n_main]
     else:
         sdf, feature_vectors, gradients = sdf_feat_grad(
             params["implicit"], cfg.implicit, points_flat, dtype=main_dtype
@@ -269,19 +303,9 @@ def render_rays(
         output["rgb_spec_values"] = jnp.sum(weights[..., None] * rgb_spec, axis=1)
 
     if training:
-        # Eikonal points: uniform-in-box + near-surface + jittered neighbours
-        # (reference network.py:583-600).
-        bs = cfg.scene_bounding_sphere
-        eik_uniform = jax.random.uniform(
-            k_eik_uniform, (R, 3), minval=-bs, maxval=bs, dtype=rays_o.dtype
-        )
-        eik_near = rays_o + z_eik * rays_d
-        eik_points = jnp.concatenate([eik_uniform, eik_near], axis=0)
-        neighbours = eik_points + (
-            jax.random.uniform(k_eik_neigh, eik_points.shape, dtype=rays_o.dtype) - 0.5
-        ) * 0.01
-        all_eik = jnp.concatenate([eik_points, neighbours], axis=0)
-        if use_pallas_diff:
+        if fold_eik:
+            grad_theta = grad_theta_all
+        elif use_pallas_diff:
             from .fields import sdf_gradient_pallas
 
             grad_theta = sdf_gradient_pallas(

@@ -185,12 +185,17 @@ def _sphere_consts():
     return jnp.asarray(C)
 
 
-def _clamp_fwd(x_blk, Zs, gcols_pad, C_ref, sphere_scale, bounding_sphere):
+def _clamp_fwd(x_blk, Zs, gcols_pad, C_ref, sphere_scale, bounding_sphere,
+               enable=None):
     """In-kernel bounding-sphere clamp (reference network.py:115-118 and the
     clamp's gradient select): given the raw-xyz block (b, 128), the sdf
     lane-block Zs (b, 128) (lane 0 = sdf) and the padded d-grad lanes
     (b, 128), returns (os_block, g_block, take) where os_block carries the
-    clamped sdf on lane 0 and the take-MLP flag on lane 1."""
+    clamped sdf on lane 0 and the take-MLP flag on lane 1.
+
+    ``enable`` ((b, 1) bool or None): rows where False bypass the clamp
+    entirely (take-MLP forced) — lets UNclamped rows (the eikonal batch,
+    reference network.py:97-108 gradient_sdf) share the kernel call."""
     lane = jax.lax.broadcasted_iota(jnp.int32, Zs.shape, 1)
     xb = x_blk
 
@@ -209,6 +214,8 @@ def _clamp_fwd(x_blk, Zs, gcols_pad, C_ref, sphere_scale, bounding_sphere):
     norm = jnp.sqrt(n2)
     sphere = sphere_scale * (bounding_sphere - norm)
     take = sdf_b <= sphere  # every lane equal
+    if enable is not None:
+        take = take | jnp.logical_not(enable)
     os_block = jnp.where(
         lane == 0,
         jnp.where(take, Zs, sphere),
@@ -226,7 +233,7 @@ def _clamp_fwd(x_blk, Zs, gcols_pad, C_ref, sphere_scale, bounding_sphere):
 def _fwd_pallas(ws, bs, x, skip_in: tuple, multires: int, dtype, block: int,
                 interpret: bool | None, save_z: bool,
                 bounding_sphere: float = 0.0, sphere_scale: float = 1.0,
-                wide_grad: bool = False):
+                wide_grad: bool = False, clamp_rows: int = -1):
     """(sdf (N, 1) f32, feat (N, d_out-1) act-dtype, grad (N, 3) f32)[, zs]:
     the stacked primal+tangent forward as one VMEM-resident kernel over raw
     points x (N, 3).
@@ -234,7 +241,10 @@ def _fwd_pallas(ws, bs, x, skip_in: tuple, multires: int, dtype, block: int,
     With ``bounding_sphere > 0`` the bounding-sphere clamp
     ``min(sdf, scale*(R - |x|))`` and its gradient select run IN-KERNEL
     (reference network.py:115-118); the take-MLP flag is emitted on lane 1
-    of the sdf output block for the backward's cotangent gating.
+    of the sdf output block for the backward's cotangent gating. With
+    ``clamp_rows >= 0`` only rows < clamp_rows are clamped — appended rows
+    (the eikonal batch) get the raw MLP sdf/grad (reference gradient_sdf,
+    network.py:97-108), so both populations share ONE kernel launch.
 
     With ``save_z``, each hidden layer's pre-activation Z (4b-row stacked,
     act dtype) is streamed to HBM for the backward to reuse: zs[l] has shape
@@ -311,9 +321,15 @@ def _fwd_pallas(ws, bs, x, skip_in: tuple, multires: int, dtype, block: int,
         )
         gpad = jnp.pad(gcols, ((0, 0), (0, _LANE - 3)))
         if clamp:
+            if clamp_rows >= 0:
+                i = pl.program_id(0)
+                gr = i * b + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+                enable = gr < clamp_rows
+            else:
+                enable = None
             os_blk, g_blk = _clamp_fwd(
                 x_ref[:], Zp[:, fpad:], gpad, C_ref[:],
-                sphere_scale, bounding_sphere,
+                sphere_scale, bounding_sphere, enable=enable,
             )
             os_ref[:] = os_blk
             g_ref[:] = g_blk
@@ -652,11 +668,11 @@ def _bwd_pallas(ws, bs, x, zs, c_sdf, c_feat, c_grad, skip_in: tuple,
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
 def sdf_mlp_with_grad(ws, bs, x, multires: int, skip_in: tuple,
                       dtype_name: str, block: int, save_z: bool = True,
                       bounding_sphere: float = 0.0, sphere_scale: float = 1.0,
-                      wide_grad: bool = False):
+                      wide_grad: bool = False, clamp_rows: int = -1):
     """(sdf (N, 1) f32, feat (N, d_out-1), grad (N, 3) f32) of the SDF MLP
     over raw points, Pallas fwd + backward. feat is at the activation dtype
     (bf16 under mixed precision — its consumers cast there anyway).
@@ -681,32 +697,34 @@ def sdf_mlp_with_grad(ws, bs, x, multires: int, skip_in: tuple,
     sdf, feat, g, _ = _fwd_pallas(
         list(ws), list(bs), x, skip_in, multires, dtype, block, None,
         save_z=False, bounding_sphere=bounding_sphere,
-        sphere_scale=sphere_scale, wide_grad=wide_grad,
+        sphere_scale=sphere_scale, wide_grad=wide_grad, clamp_rows=clamp_rows,
     )
     return sdf, feat, g
 
 
 def _fwd(ws, bs, x, multires, skip_in, dtype_name, block, save_z,
-         bounding_sphere, sphere_scale, wide_grad):
+         bounding_sphere, sphere_scale, wide_grad, clamp_rows=-1):
     dtype = jnp.dtype(dtype_name) if dtype_name else None
     if save_z:
         sdf, feat, g, flag, zs = _fwd_pallas(
             list(ws), list(bs), x, skip_in, multires, dtype, block, None,
             save_z=True, bounding_sphere=bounding_sphere,
             sphere_scale=sphere_scale, wide_grad=wide_grad,
+            clamp_rows=clamp_rows,
         )
     else:
         sdf, feat, g, flag = _fwd_pallas(
             list(ws), list(bs), x, skip_in, multires, dtype, block, None,
             save_z=False, bounding_sphere=bounding_sphere,
             sphere_scale=sphere_scale, wide_grad=wide_grad,
+            clamp_rows=clamp_rows,
         )
         zs = None
     return (sdf, feat, g), (ws, bs, x, zs, flag)
 
 
 def _bwd(multires, skip_in, dtype_name, block, save_z, bounding_sphere,
-         sphere_scale, wide_grad, res, cts):
+         sphere_scale, wide_grad, clamp_rows, res, cts):
     ws, bs, x, zs, flag = res
     c_sdf, c_feat, c_grad = cts  # (N, 1), (N, d_out-1), (N, 3) or (N, 128)
     dtype = jnp.dtype(dtype_name) if dtype_name else None

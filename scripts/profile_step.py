@@ -21,7 +21,8 @@ def main():
     ap.add_argument("--out", default="/tmp/prof")
     ap.add_argument("--diff", default="pallas")
     ap.add_argument("--sampler", default="pallas")
-    ap.add_argument("--rgb", default="jnp")
+    ap.add_argument("--rgb", default="fused")
+    ap.add_argument("--machinery", default="pallas")
     args = ap.parse_args()
 
     import jax
@@ -48,6 +49,7 @@ def main():
         sampler=SamplerConfig(
             scene_bounding_sphere=1.1, N_samples=64, N_samples_eval=128,
             N_samples_extra=32, max_total_iters=5, intersection="cube",
+            machinery=args.machinery,
         ),
         scene_bounding_sphere=1.1,
         compute_dtype="bfloat16", mixed_precision=True,

@@ -111,6 +111,8 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--top", type=int, default=60)
     ap.add_argument("--plane", default=None, help="substring filter on plane name")
+    ap.add_argument("--line", default=None, help="substring filter on line name")
+    ap.add_argument("--lines", action="store_true", help="list line names + totals only")
     args = ap.parse_args()
 
     with open(args.path, "rb") as f:
@@ -128,9 +130,17 @@ def main():
             "TPU" in name or "/device" in name.lower() or "Device" in name
         ):
             continue
+        if args.lines:
+            print(f"\n== plane {name!r}: lines")
+            for lname, events in lines:
+                tot = sum(d for _, d in events) / 1e9
+                print(f"  {lname!r}: {len(events)} events, {tot/args.steps:.3f} ms/step total")
+            continue
         totals = defaultdict(float)
         counts = defaultdict(int)
         for lname, events in lines:
+            if args.line and lname != args.line:
+                continue
             for md, dur in events:
                 nm = meta.get(md, f"#{md}")
                 totals[nm] += dur / 1e9  # ps -> ms

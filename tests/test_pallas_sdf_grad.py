@@ -109,6 +109,46 @@ class TestBackwardParity:
             np.asarray(flat1), np.asarray(flat2), atol=2e-4, rtol=1e-3
         )
 
+    def test_clamp_rows_split_population(self):
+        """One kernel call serving clamped main rows + UNclamped appended
+        rows (the folded eikonal batch) must match two separate calls, in
+        values AND parameter gradients."""
+        cfg = _cfg(bounding=0.9)  # small sphere so the clamp actually fires
+        params = init_implicit_net(jax.random.PRNGKey(8), cfg)
+        x_main = _points(48, seed=9) * 1.5  # some points outside the sphere
+        x_eik = _points(24, seed=10) * 1.5
+        x_all = jnp.concatenate([x_main, x_eik], axis=0)
+        n = x_main.shape[0]
+
+        def loss_folded(p):
+            s, f, g = sdf_feat_grad_pallas(p, cfg, x_all, clamp_rows=n)
+            ge = g[n:]
+            return (
+                jnp.mean(s[:n] ** 2)
+                + jnp.mean(f[:n] ** 2)
+                + jnp.mean(g[:n] ** 2)
+                + jnp.mean((jnp.linalg.norm(ge, axis=-1) - 1.0) ** 2)
+            )
+
+        def loss_split(p):
+            s, f, g = sdf_feat_grad_pallas(p, cfg, x_main)
+            ge = sdf_gradient_pallas(p, cfg, x_eik)
+            return (
+                jnp.mean(s**2)
+                + jnp.mean(f**2)
+                + jnp.mean(g**2)
+                + jnp.mean((jnp.linalg.norm(ge, axis=-1) - 1.0) ** 2)
+            )
+
+        v1, g1 = jax.value_and_grad(loss_folded)(params)
+        v2, g2 = jax.value_and_grad(loss_split)(params)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+        flat1, _ = flatten_util.ravel_pytree(g1)
+        flat2, _ = flatten_util.ravel_pytree(g2)
+        np.testing.assert_allclose(
+            np.asarray(flat1), np.asarray(flat2), atol=1e-5, rtol=1e-4
+        )
+
     def test_non_multiple_block_sizes(self):
         """N not a multiple of the kernel block: zero-padded rows must not
         pollute the weight gradients."""

@@ -48,6 +48,35 @@ class TestOptimizer:
         leaves = jax.tree_util.tree_leaves(updates)
         assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
 
+    def test_flat_adam_matches_optax_adam(self):
+        """The fused (raveled-vector) Adam must track optax.adam exactly
+        over several steps, including the bias-corrected early steps."""
+        import optax
+        from monosdf_tpu.train.optim import flat_adam, _schedule
+
+        cfg = tiny_cfg()
+        params = init_monosdf(jax.random.PRNGKey(0), cfg)
+        ocfg = OptimConfig(decay_steps=100, fused=False)
+        ref = optax.adam(_schedule(ocfg), b1=0.9, b2=0.999, eps=1e-8)
+        fused = flat_adam(_schedule(ocfg), b1=0.9, b2=0.999, eps=1e-8)
+        s_ref, s_fus = ref.init(params), fused.init(params)
+        p_ref = p_fus = params
+        for i in range(3):
+            key = jax.random.PRNGKey(10 + i)
+            grads = jax.tree_util.tree_map(
+                lambda p: jax.random.normal(key, p.shape, p.dtype), p_ref
+            )
+            u_ref, s_ref = ref.update(grads, s_ref, p_ref)
+            u_fus, s_fus = fused.update(grads, s_fus, p_fus)
+            p_ref = optax.apply_updates(p_ref, u_ref)
+            p_fus = optax.apply_updates(p_fus, u_fus)
+            for a, b in zip(
+                jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_fus)
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=0, atol=1e-7
+                )
+
     def test_grid_mode_group_lrs(self):
         cfg = tiny_cfg(use_grid=True)
         params = init_monosdf(jax.random.PRNGKey(0), cfg)
