@@ -10,8 +10,11 @@ MonoSDF loss, Adam update.
 
 The reference publishes no benchmark numbers (BASELINE.md). vs_baseline is
 computed against REFERENCE_RAYS_PER_SEC, an estimated single-A100 figure for
-the reference implementation (~0.1 s / 1024-ray iteration, the typical
-published MonoSDF training rate class).
+the reference implementation (~0.1 s / 1024-ray iteration). The estimate's
+derivation (per-iteration FLOP budget x realistic A100 fp32 utilization,
+bracketed by community-reported wall-clocks) is pinned in BASELINE.md
+"Derivation of REFERENCE_RAYS_PER_SEC"; it sits at the top of the plausible
+range, i.e. conservative for the reported ratio.
 """
 
 from __future__ import annotations

@@ -69,6 +69,11 @@ def build_configs(conf: dict) -> ExperimentConfig:
         base_resolution=int(_get(imp, "base_size", 16)),
         log2_hashmap_size=int(_get(imp, "logmap", 19)),
         desired_resolution=int(_get(imp, "end_size", 2048)),
+        # TPU knobs (not in the reference confs; overridable via conf_add):
+        # bf16 table gathers + scalar-per-channel gradient scatter are the
+        # measured-fastest encodings on a v5e (see HashGridConfig docstring)
+        table_dtype=str(_get(imp, "table_dtype", "bfloat16")),
+        scatter_impl=str(_get(imp, "scatter_impl", "flat")),
     )
     implicit = ImplicitNetConfig(
         feature_vector_size=feat,

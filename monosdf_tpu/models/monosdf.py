@@ -196,6 +196,15 @@ def render_rays(
 
     n_main = points_flat.shape[0]
     fold_eik = training and use_pallas_diff and cfg.fold_eikonal
+    # Grid mode applies no bounding-sphere clamp (reference
+    # ImplicitNetworkGrid), so the eikonal batch can fold into the main
+    # differentiated evaluation on the jnp path too: ONE hash-grid gather
+    # and ONE backward scatter-add instead of two of each (the separate
+    # 4096-point eikonal gather alone measured ~21 ms/step on a v5e).
+    fold_eik_jnp = (
+        training and not use_pallas_diff and cfg.fold_eikonal
+        and cfg.implicit.use_grid
+    )
     if use_pallas_diff:
         from .fields import sdf_feat_grad_pallas
 
@@ -213,9 +222,18 @@ def render_rays(
             feature_vectors = feature_vectors[:n_main]
             gradients = gradients[:n_main]
     else:
-        sdf, feature_vectors, gradients = sdf_feat_grad(
-            params["implicit"], cfg.implicit, points_flat, dtype=main_dtype
+        pts_in = (
+            jnp.concatenate([points_flat, all_eik], axis=0)
+            if fold_eik_jnp else points_flat
         )
+        sdf, feature_vectors, gradients = sdf_feat_grad(
+            params["implicit"], cfg.implicit, pts_in, dtype=main_dtype
+        )
+        if fold_eik_jnp:
+            grad_theta_all = gradients[n_main:]
+            sdf = sdf[:n_main]
+            feature_vectors = feature_vectors[:n_main]
+            gradients = gradients[:n_main]
 
     code_flat = None
     if image_code is not None:
@@ -303,7 +321,7 @@ def render_rays(
         output["rgb_spec_values"] = jnp.sum(weights[..., None] * rgb_spec, axis=1)
 
     if training:
-        if fold_eik:
+        if fold_eik or fold_eik_jnp:
             grad_theta = grad_theta_all
         elif use_pallas_diff:
             from .fields import sdf_gradient_pallas

@@ -40,9 +40,20 @@ class HashGridConfig:
     base_resolution: int = 16
     log2_hashmap_size: int = 19
     desired_resolution: int | None = 2048
-    # gather the table in this dtype (bf16 halves the HBM traffic of the
-    # random gather; weighted corner combine stays f32)
+    # gather the table in this dtype. Measured on a v5e: the TPU row-gather
+    # costs ~6.6 ns/row at 8B rows and ~4.6 ns/row at 4B rows (bf16 2ch) —
+    # a 1.4x sweep-gather win; the corner combine stays f32 and the table
+    # GRADIENT still accumulates in f32 (see _table_take).
     table_dtype: str = "float32"
+    # Backward (table-gradient) scatter encoding (measured in scripts/
+    # probe_hash_primitives.py on a v5e, 12.8M updates): XLA scatter-add of
+    # (N, 2) f32 rows runs at ~62 ns/row ('rows', 807 ms) and is insensitive
+    # to sorted/unique hints or batching; SCALAR rows run at ~12.8 ns, so
+    # 'flat' (one scalar f32 scatter per channel, 2x ~165 ms) is the fastest
+    # exact encoding. 'c64' (both channels packed into one complex64 row)
+    # measured 1910 ms — XLA decomposes complex scatters pathologically —
+    # and is kept only as a correctness-tested curiosity.
+    scatter_impl: str = "flat"
 
     @property
     def scale(self) -> float:
@@ -92,6 +103,53 @@ def init_hashgrid(key, cfg: HashGridConfig) -> dict:
 
 def _smoothstep(v):
     return v * v * (3.0 - 2.0 * v)
+
+
+def _table_take(emb: jnp.ndarray, idx: jnp.ndarray, scatter_impl: str):
+    """Row-gather ``emb[idx]`` with a custom-transpose scatter encoding.
+
+    ``jax.custom_derivatives.linear_call`` keeps the op linear in ``emb``:
+    forward-mode (the sdf spatial gradient's ``jax.linearize``) passes
+    through untouched, reverse-mode uses our transpose, and the transpose's
+    transpose is the gather again — so the eikonal grad-of-grad still
+    traces, replacing the reference's hand-written second CUDA backward
+    (hashencoder.cu:375-595).
+
+    The transpose replaces XLA's default (N, C)-row scatter-add (measured
+    ~62 ns/row on v5e) with scalar-row encodings (~12.8 ns/row):
+    'c64' carries both channels of one update as a single complex64 scalar
+    and accumulates exactly in f32 regardless of the gather dtype.
+    """
+    from jax.custom_derivatives import linear_call
+
+    T, C = emb.shape
+
+    def fwd(ix, e):
+        return jnp.take(e, ix, axis=0)
+
+    def bwd(ix, ct):  # ct: (N, C) in emb.dtype -> d_emb (T, C)
+        ctf = ct.astype(jnp.float32)
+        if scatter_impl == "c64" and C == 2:
+            packed = jax.lax.complex(ctf[:, 0], ctf[:, 1])
+            acc = jnp.zeros((T,), jnp.complex64).at[ix].add(
+                packed, mode="promise_in_bounds"
+            )
+            d = jnp.stack([jnp.real(acc), jnp.imag(acc)], axis=-1)
+        elif scatter_impl in ("flat", "c64"):
+            cols = [
+                jnp.zeros((T,), jnp.float32).at[ix].add(
+                    ctf[:, c], mode="promise_in_bounds"
+                )
+                for c in range(C)
+            ]
+            d = jnp.stack(cols, axis=-1)
+        else:  # 'rows' — XLA's native (N, C) row scatter
+            d = jnp.zeros((T, C), jnp.float32).at[ix].add(
+                ctf, mode="promise_in_bounds"
+            )
+        return d.astype(emb.dtype)
+
+    return linear_call(fwd, bwd, idx, emb)
 
 
 def _corner_index(pos_grid, hashmap_size: int, resolution: int, dense: bool):
@@ -176,7 +234,7 @@ def hash_encode_01(params: dict, cfg: HashGridConfig, x01: jnp.ndarray) -> jnp.n
     idx = jnp.where(dense_mask[None, :, None], dense_idx, hash_idx)
     idx = (idx % hms_arr[None, :, None]).astype(jnp.int32) + off_arr[None, :, None]
 
-    vals = jnp.take(emb, idx.reshape(-1), axis=0).reshape(8, L, B, C)
+    vals = _table_take(emb, idx.reshape(-1), cfg.scatter_impl).reshape(8, L, B, C)
 
     # corner weights: prod over D of (w if bit else 1-w) -> (8,L,B)
     bits = jnp.asarray(corner_bits, bool)[:, None, None, :]  # (8,1,1,D)

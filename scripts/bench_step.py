@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--grid", action="store_true", help="hash-grid flagship config")
+    ap.add_argument("--table_dtype", default="bfloat16",
+                    help="hash-table gather dtype (grid mode)")
+    ap.add_argument("--scatter", default="flat",
+                    help="table-grad scatter impl: flat|c64|rows (grid mode)")
     ap.add_argument("--f32", action="store_true", help="disable mixed precision")
     ap.add_argument("--nofold", action="store_true", help="separate eikonal kernel call")
     ap.add_argument("--nofused_opt", action="store_true", help="per-leaf optax.adam")
@@ -53,6 +57,7 @@ def main():
             grid=HashGridConfig(
                 num_levels=16, level_dim=2, base_resolution=16,
                 log2_hashmap_size=19, desired_resolution=2048,
+                table_dtype=args.table_dtype, scatter_impl=args.scatter,
             ),
             divide_factor=1.1, sdf_bounding_sphere=0.0,
         )
@@ -113,7 +118,10 @@ def main():
     print(json.dumps({
         "rays": args.rays, "diff": args.diff, "sampler": args.sampler,
         "rgb": args.rgb, "sweep_pe": args.sweep_pe, "machinery": args.machinery,
-        "grid": args.grid, "ms_per_step": round(1e3 * dt / args.iters, 2),
+        "grid": args.grid,
+        "table_dtype": args.table_dtype if args.grid else None,
+        "scatter": args.scatter if args.grid else None,
+        "ms_per_step": round(1e3 * dt / args.iters, 2),
         "rays_per_s": round(args.rays * args.iters / dt, 1),
         "compile_s": round(compile_s, 1),
         "loss_first": round(loss0, 4), "loss_last": round(loss1, 4),

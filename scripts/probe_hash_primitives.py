@@ -1,0 +1,425 @@
+"""Microbenchmarks for hash-grid encoder primitives on the real TPU.
+
+Motivated by the grid-mode profile (1479 ms/step): the XLA row-gather runs at
+~6 ns/row (5 sweeps x 102 ms) and the backward scatter-add at ~60 ns/update
+(779 ms). This probes every candidate replacement so the kernel design is
+driven by measured rates, not guesses:
+
+  * XLA take (f32 / bf16 table)
+  * XLA scatter-add (random, sorted, sorted+unique indices)
+  * lax.sort_key_val at the backward's update count
+  * cumsum (for sort+prefix segment reductions)
+  * Pallas dynamic_gather (axis 0 / axis 1), several operand heights
+  * Pallas dynamic-slice store (contiguous run scatter)
+
+Timing discipline per CLAUDE.md: chain ITERS iterations inside one jit
+(fori_loop), fetch one scalar; fresh process, nothing else on the box.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+T = 6_098_108        # flagship table entries
+N_GATHER = 16_777_216  # sweep corner-lookups (131072 pts x 8 x 16)
+N_SCATTER = 12_845_056  # diff-path corner-updates (100352 pts x 8 x 16)
+
+
+def timed(fn, *args, iters=3, warmup=1):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    _ = float(jax.numpy.asarray(out).ravel()[0])
+    t0 = time.perf_counter()
+    out = fn(*args)
+    _ = float(jax.numpy.asarray(out).ravel()[0])
+    dt = (time.perf_counter() - t0) / iters
+    return dt * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="", help="comma-separated probe names")
+    args, _ = ap.parse_known_args()
+    only = set(filter(None, args.only.split(",")))
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    results = {}
+
+    def report(name, ms, detail=""):
+        results[name] = round(ms, 3)
+        print(f"{name:36s} {ms:10.3f} ms  {detail}", flush=True)
+
+    def want(name):
+        return not only or name in only
+
+    key = jax.random.PRNGKey(0)
+    ITERS = 3
+
+    # ---- XLA gather -----------------------------------------------------
+    if want("xla_take"):
+        for dt_name in ("float32", "bfloat16"):
+            emb = jnp.zeros((T, 2), jnp.dtype(dt_name)) + 0.5
+            idx = jax.random.randint(key, (N_GATHER,), 0, T, jnp.int32)
+
+            @jax.jit
+            def take_loop(emb, idx):
+                def body(i, acc):
+                    v = jnp.take(emb, idx + i, axis=0, mode="clip")
+                    return acc + v.astype(jnp.float32).sum()
+                return jax.lax.fori_loop(0, ITERS, body, 0.0)
+
+            ms = timed(take_loop, emb, idx, iters=ITERS)
+            report(f"xla_take_{dt_name}", ms, f"{N_GATHER} rows")
+
+    # ---- XLA scatter-add -------------------------------------------------
+    if want("xla_scatter"):
+        vals = jnp.ones((N_SCATTER, 2), jnp.float32)
+        idx_rand = jax.random.randint(key, (N_SCATTER,), 0, T, jnp.int32)
+        idx_sorted = jnp.sort(idx_rand)
+
+        def mk(sorted_, unique):
+            @jax.jit
+            def f(idx, vals):
+                z = jnp.zeros((T, 2), jnp.float32)
+                out = z.at[idx].add(
+                    vals, indices_are_sorted=sorted_, unique_indices=unique,
+                    mode="promise_in_bounds",
+                )
+                return out.sum()
+            return f
+
+        report("xla_scatter_random", timed(mk(False, False), idx_rand, vals, iters=1))
+        report("xla_scatter_sorted", timed(mk(True, False), idx_sorted, vals, iters=1))
+        idx_unique = jnp.arange(N_SCATTER, dtype=jnp.int32) % T
+        report(
+            "xla_scatter_sorted_unique",
+            timed(mk(True, True), jnp.sort(idx_unique), vals, iters=1),
+        )
+
+    # ---- sort / cumsum ----------------------------------------------------
+    if want("sort"):
+        keys = jax.random.randint(key, (N_SCATTER,), 0, T, jnp.int32)
+        v0 = jnp.ones((N_SCATTER,), jnp.float32)
+        v1 = jnp.ones((N_SCATTER,), jnp.float32)
+
+        @jax.jit
+        def sort1(keys, v0):
+            k, a = jax.lax.sort_key_val(keys, v0)
+            return k[-1].astype(jnp.float32) + a[0]
+
+        @jax.jit
+        def sort2(keys, v0, v1):
+            k, a, b = jax.lax.sort((keys, v0, v1), dimension=0, num_keys=1)
+            return k[-1].astype(jnp.float32) + a[0] + b[0]
+
+        report("sort_key_1val_12.8M", timed(sort1, keys, v0, iters=1))
+        report("sort_key_2val_12.8M", timed(sort2, keys, v0, v1, iters=1))
+
+        @jax.jit
+        def csum(v0):
+            return jnp.cumsum(v0)[-1]
+
+        report("cumsum_12.8M", timed(csum, v0, iters=1))
+
+    # ---- Pallas dynamic_gather --------------------------------------------
+    if want("pl_gather"):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def probe_dg(rows, reps, axis):
+            tbl = jax.random.normal(key, (rows, 128), jnp.float32)
+            hi = rows if axis == 0 else 128
+            idx = jax.random.randint(key, (rows, 128), 0, hi, jnp.int32)
+
+            def kern(tbl_ref, idx_ref, out_ref):
+                def body(i, acc):
+                    g = jnp.take_along_axis(
+                        tbl_ref[:], idx_ref[:] + (i - i), axis=axis
+                    )
+                    return acc + g
+                out_ref[:] = jax.lax.fori_loop(0, reps, body,
+                                               jnp.zeros_like(tbl_ref[:]))
+
+            f = pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )
+            jf = jax.jit(lambda t, i: f(t, i).sum())
+            try:
+                ms = timed(jf, tbl, idx, iters=1) / reps
+                per = ms * 1e6 / (rows * 128)
+                report(f"pl_dyngather_ax{axis}_{rows}x128", ms,
+                       f"{per:.3f} ns/elem ({reps} reps in kernel)")
+            except Exception as e:
+                report(f"pl_dyngather_ax{axis}_{rows}x128", float("nan"),
+                       f"FAILED: {type(e).__name__}: {str(e)[:160]}")
+
+        for rows in (8, 512, 4096, 8192):
+            probe_dg(rows, reps=32, axis=0)
+        probe_dg(512, reps=32, axis=1)
+
+    # ---- Pallas dynamic-slice store (contiguous run scatter) --------------
+    if want("pl_store"):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def kern(off_ref, val_ref, out_ref):
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+            def body(i, _):
+                start = off_ref[i]
+                out_ref[pl.ds(start, 8), :] += val_ref[pl.ds(8 * i, 8), :]
+                return 0
+
+            jax.lax.fori_loop(0, off_ref.shape[0], body, 0)
+
+        n_runs, rows = 512, 4096
+        offs = jnp.sort(jax.random.randint(key, (n_runs,), 0, rows - 8, jnp.int32))
+        vals = jnp.ones((8 * n_runs, 128), jnp.float32)
+        f = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+        jf = jax.jit(lambda o, v: f(o, v).sum())
+        try:
+            ms = timed(jf, offs, vals, iters=1)
+            report("pl_dynslice_store_512x8rows", ms,
+                   f"{ms * 1e6 / n_runs:.1f} ns/run")
+        except Exception as e:
+            report("pl_dynslice_store_512x8rows", float("nan"),
+                   f"FAILED: {type(e).__name__}: {str(e)[:160]}")
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__" and "--wave2" not in sys.argv and "--wave3" not in sys.argv:
+    main()
+
+
+def main2():
+    """Second probe wave: coherence / row-shape / table-size sensitivity."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    results = {}
+
+    def report(name, ms, detail=""):
+        results[name] = round(ms, 3)
+        print(f"{name:40s} {ms:10.3f} ms  {detail}", flush=True)
+
+    key = jax.random.PRNGKey(0)
+    ITERS = 3
+
+    emb = jnp.zeros((T, 2), jnp.float32) + 0.5
+    embf = jnp.zeros((2 * T,), jnp.float32) + 0.5
+    emb_bf = emb.astype(jnp.bfloat16)
+
+    def take_loop(emb, idx):
+        def body(i, acc):
+            v = jnp.take(emb, idx + i, axis=0, mode="clip")
+            return acc + v.astype(jnp.float32).sum()
+        return jax.lax.fori_loop(0, ITERS, body, 0.0)
+
+    jt = jax.jit(take_loop)
+
+    idx_rand = jax.random.randint(key, (N_GATHER,), 0, T, jnp.int32)
+    report("take_f32_random", timed(jt, emb, idx_rand, iters=ITERS))
+
+    idx_sorted = jnp.sort(idx_rand)
+    report("take_f32_sorted", timed(jt, emb, idx_sorted, iters=ITERS))
+
+    # ray-coherent: 128k rays x 128 consecutive-ish cells each
+    base = jax.random.randint(key, (N_GATHER // 128, 1), 0, T - 512, jnp.int32)
+    walk = jnp.cumsum(
+        jax.random.randint(key, (N_GATHER // 128, 128), 0, 4, jnp.int32), axis=1
+    )
+    idx_coh = (base + walk).reshape(-1)
+    report("take_f32_raywalk", timed(jt, emb, idx_coh, iters=ITERS))
+
+    # small table (cache?)
+    small = jnp.zeros((4096, 2), jnp.float32) + 0.5
+    idx_small = jax.random.randint(key, (N_GATHER,), 0, 4096, jnp.int32)
+    report("take_f32_smalltable4k", timed(jt, small, idx_small, iters=ITERS))
+
+    mid = jnp.zeros((524288, 2), jnp.float32) + 0.5
+    idx_mid = jax.random.randint(key, (N_GATHER,), 0, 524288, jnp.int32)
+    report("take_f32_midtable512k", timed(jt, mid, idx_mid, iters=ITERS))
+
+    # flat scalar-row gather
+    idx_flat = jax.random.randint(key, (N_GATHER,), 0, 2 * T, jnp.int32)
+    report("take_f32_flat1d", timed(jt, embf, idx_flat, iters=ITERS))
+
+    # pair gather: half the indices, slice (2, 2) via take of reshaped (T//2, 4)
+    emb_pairs = emb.reshape(T // 2, 4)
+    idx_half = jax.random.randint(key, (N_GATHER // 2,), 0, T // 2, jnp.int32)
+    report("take_f32_pairrows_half", timed(jt, emb_pairs, idx_half, iters=ITERS),
+           "8.4M rows of 4ch")
+    emb_p_bf = emb_pairs.astype(jnp.bfloat16)
+    report("take_bf16_pairrows_half", timed(jt, emb_p_bf, idx_half, iters=ITERS))
+    emb_q_bf = emb_bf.reshape(T // 4, 8)
+    idx_q = jax.random.randint(key, (N_GATHER // 4,), 0, T // 4, jnp.int32)
+    report("take_bf16_quadrows_quarter", timed(jt, emb_q_bf, idx_q, iters=ITERS),
+           "4.2M rows of 8ch bf16")
+
+    # scatter shapes
+    vals2 = jnp.ones((N_SCATTER, 2), jnp.float32)
+    idxs = jax.random.randint(key, (N_SCATTER,), 0, T, jnp.int32)
+
+    def sc2(idx, vals):
+        z = jnp.zeros((T, 2), jnp.float32)
+        return z.at[idx].add(vals, mode="promise_in_bounds").sum()
+
+    def sc_flat(idx, vals):
+        z = jnp.zeros((2 * T,), jnp.float32)
+        return z.at[idx].add(vals, mode="promise_in_bounds").sum()
+
+    def sc_small(idx, vals):
+        z = jnp.zeros((4096, 2), jnp.float32)
+        return z.at[idx].add(vals, mode="promise_in_bounds").sum()
+
+    report("scatter2ch_random", timed(jax.jit(sc2), idxs, vals2, iters=1))
+    vflat = jnp.ones((N_SCATTER,), jnp.float32)
+    report("scatter_flat_scalar", timed(jax.jit(sc_flat), idx_flat[:N_SCATTER], vflat, iters=1),
+           "12.8M scalar rows")
+    idx_sm = jax.random.randint(key, (N_SCATTER,), 0, 4096, jnp.int32)
+    report("scatter_small4k", timed(jax.jit(sc_small), idx_sm, vals2, iters=1))
+    # wide rows: scatter 1.6M rows of (1, 16)
+    vals16 = jnp.ones((N_SCATTER // 8, 16), jnp.float32)
+    def sc16(idx, vals):
+        z = jnp.zeros((T // 8, 16), jnp.float32)
+        return z.at[idx].add(vals, mode="promise_in_bounds").sum()
+    idx16 = jax.random.randint(key, (N_SCATTER // 8,), 0, T // 8, jnp.int32)
+    report("scatter_16ch_eighth", timed(jax.jit(sc16), idx16, vals16, iters=1),
+           "1.6M rows of 16ch")
+
+    # row-parallel 2D sort: (128, 100352) keys + payload
+    k2d = jax.random.randint(key, (128, 100352), 0, 524288, jnp.int32)
+    v2d = jnp.ones((128, 100352), jnp.float32)
+
+    def sort2d(k, v):
+        ks, vs = jax.lax.sort((k, v), dimension=1, num_keys=1)
+        return ks[0, -1].astype(jnp.float32) + vs[0, 0]
+
+    report("sort2d_128x100k_1val", timed(jax.jit(sort2d), k2d, v2d, iters=1))
+
+    def csum2d(v):
+        return jnp.cumsum(v, axis=1)[0, -1]
+
+    report("cumsum2d_128x100k", timed(jax.jit(csum2d), v2d, iters=1))
+
+    import json
+    print(json.dumps(results))
+
+
+if __name__ == "__main__" and "--wave2" in sys.argv:
+    main2()
+    sys.exit(0)
+
+
+def main3():
+    """Third wave: scatter encodings (complex64 channel-packing, bf16 rows,
+    batched-per-level) and matching gather forms."""
+    import jax
+    import jax.numpy as jnp
+
+    results = {}
+
+    def report(name, ms, detail=""):
+        results[name] = round(ms, 3)
+        print(f"{name:40s} {ms:10.3f} ms  {detail}", flush=True)
+
+    key = jax.random.PRNGKey(0)
+    idx = jax.random.randint(key, (N_SCATTER,), 0, T, jnp.int32)
+
+    # complex64: both channels ride one scalar row (complex built IN-jit;
+    # eager complex ops are unimplemented on the axon backend)
+    vr = jnp.ones((N_SCATTER,), jnp.float32)
+
+    def sc_c64(idx, v):
+        vc = jax.lax.complex(v, v * 2.0)
+        z = jnp.zeros((T,), jnp.complex64)
+        acc = z.at[idx].add(vc, mode="promise_in_bounds")
+        return jnp.real(acc).sum() + jnp.imag(acc).sum()
+
+    try:
+        report("scatter_c64_flat", timed(jax.jit(sc_c64), idx, vr, iters=1))
+    except Exception as e:
+        report("scatter_c64_flat", float("nan"), str(e)[:120])
+
+    # bf16 (T, 2) rows = 4-byte rows
+    vb = jnp.ones((N_SCATTER, 2), jnp.bfloat16)
+
+    def sc_bf(idx, v):
+        z = jnp.zeros((T, 2), jnp.bfloat16)
+        return z.at[idx].add(v, mode="promise_in_bounds").astype(jnp.float32).sum()
+
+    report("scatter_bf16_2ch", timed(jax.jit(sc_bf), idx, vb, iters=1))
+
+    # batched per-level scatter (16 rows, 800k updates each into 524288)
+    idx2 = jax.random.randint(key, (16, N_SCATTER // 16), 0, 524288, jnp.int32)
+    v2 = jnp.ones((16, N_SCATTER // 16), jnp.float32)
+
+    def sc_batched(idx, v):
+        def one(ix, vv):
+            return jnp.zeros((524288,), jnp.float32).at[ix].add(
+                vv, mode="promise_in_bounds"
+            )
+        return jax.vmap(one)(idx, v).sum()
+
+    report("scatter_f32_batched16", timed(jax.jit(sc_batched), idx2, v2, iters=1))
+
+    # gather complex64 flat (8-byte scalar rows); complex built in-jit
+    embr = jnp.zeros((T,), jnp.float32) + 0.5
+    idxg = jax.random.randint(key, (N_GATHER,), 0, T, jnp.int32)
+
+    def take_c64(embr, i):
+        emb = jax.lax.complex(embr, embr)
+        def body(k, acc):
+            v = jnp.take(emb, i + k, axis=0, mode="clip")
+            return acc + jnp.real(v).sum() + jnp.imag(v).sum()
+        return jax.lax.fori_loop(0, 3, body, 0.0)
+
+    try:
+        report("take_c64_flat", timed(jax.jit(take_c64), embr, idxg, iters=3))
+    except Exception as e:
+        report("take_c64_flat", float("nan"), str(e)[:120])
+
+    # gather bf16 16ch rows (32B), 2.1M rows
+    emb16 = jnp.zeros((T // 8, 16), jnp.bfloat16) + 0.5
+    idx16 = jax.random.randint(key, (N_GATHER // 8,), 0, T // 8, jnp.int32)
+
+    def take16(emb, i):
+        def body(k, acc):
+            return acc + jnp.take(emb, i + k, axis=0, mode="clip").astype(
+                jnp.float32).sum()
+        return jax.lax.fori_loop(0, 3, body, 0.0)
+
+    report("take_bf16_16ch_2.1M", timed(jax.jit(take16), emb16, idx16, iters=3),
+           "2.1M rows of 32B")
+
+    import json
+    print(json.dumps(results))
+
+
+if __name__ == "__main__" and "--wave3" in sys.argv:
+    main3()
+    sys.exit(0)

@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--sampler", default="pallas")
     ap.add_argument("--rgb", default="fused")
     ap.add_argument("--machinery", default="pallas")
+    ap.add_argument("--grid", action="store_true", help="hash-grid flagship config")
     args = ap.parse_args()
 
     import jax
@@ -38,11 +39,26 @@ def main():
         OptimConfig, init_train_state, make_optimizer, make_train_step,
     )
 
-    cfg = MonoSDFConfig(
-        implicit=ImplicitNetConfig(
+    if args.grid:
+        from monosdf_tpu.ops.hashgrid import HashGridConfig
+
+        implicit = ImplicitNetConfig(
+            feature_vector_size=256, dims=(256, 256), multires=6,
+            inside_outside=True, bias=0.9, use_grid=True,
+            grid=HashGridConfig(
+                num_levels=16, level_dim=2, base_resolution=16,
+                log2_hashmap_size=19, desired_resolution=2048,
+                table_dtype="bfloat16", scatter_impl="flat",
+            ),
+            divide_factor=1.1, sdf_bounding_sphere=0.0,
+        )
+    else:
+        implicit = ImplicitNetConfig(
             feature_vector_size=256, dims=(256,) * 8, skip_in=(4,), multires=6,
             inside_outside=True, bias=0.9, sdf_bounding_sphere=1.1,
-        ),
+        )
+    cfg = MonoSDFConfig(
+        implicit=implicit,
         rendering=RenderingNetConfig(
             feature_vector_size=256, dims=(256, 256), multires_view=4
         ),

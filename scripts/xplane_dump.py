@@ -139,7 +139,7 @@ def main():
         totals = defaultdict(float)
         counts = defaultdict(int)
         for lname, events in lines:
-            if args.line and lname != args.line:
+            if args.line and args.line not in lname:
                 continue
             for md, dur in events:
                 nm = meta.get(md, f"#{md}")

@@ -156,3 +156,71 @@ class TestHashGrid:
         assert float(_smoothstep(jnp.asarray(1.0))) == 1.0
         ds = jax.grad(lambda v: _smoothstep(v))
         assert abs(float(ds(0.0))) < 1e-6 and abs(float(ds(1.0))) < 1e-6
+
+    def test_scatter_impls_identical_grads(self):
+        """The custom-transpose scatter encodings (c64 / flat scalar rows)
+        must reproduce XLA's native row scatter exactly, at first AND second
+        order (the transpose runs inside the eikonal grad-of-grad)."""
+        import dataclasses as dc
+
+        base = self._cfg()
+        params = init_hashgrid(jax.random.PRNGKey(1), base)
+        x = jnp.asarray(
+            np.random.default_rng(3).uniform(0.1, 0.9, size=(16, 3)), jnp.float32
+        )
+
+        def grads_for(impl):
+            cfg = dc.replace(base, scatter_impl=impl)
+
+            def loss1(p):
+                return jnp.sum(hash_encode_01(p, cfg, x) ** 2)
+
+            def eikonal(p):
+                def enc_sum(xx):
+                    return jnp.sum(hash_encode_01(p, cfg, xx))
+                g = jax.grad(enc_sum)(x)
+                return jnp.sum(g**2)
+
+            return (
+                jax.grad(loss1)(params)["embeddings"],
+                jax.grad(eikonal)(params)["embeddings"],
+            )
+
+        g1_rows, g2_rows = grads_for("rows")
+        for impl in ("c64", "flat"):
+            g1, g2 = grads_for(impl)
+            np.testing.assert_allclose(
+                np.asarray(g1), np.asarray(g1_rows), rtol=0, atol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(g2), np.asarray(g2_rows), rtol=1e-6, atol=1e-5
+            )
+
+    def test_bf16_table_grad_accumulates_f32(self):
+        """table_dtype=bfloat16: values gather in bf16 but the table gradient
+        must accumulate in f32 (the c64 transpose) — many small contributions
+        to one entry must not collapse to bf16 rounding."""
+        import dataclasses as dc
+
+        cfg = dc.replace(self._cfg(), table_dtype="bfloat16")
+        params = init_hashgrid(jax.random.PRNGKey(1), cfg)
+        # many points in the same cell -> many contributions to few entries
+        x = jnp.asarray(
+            0.5 + 0.001 * np.random.default_rng(0).uniform(size=(256, 3)),
+            jnp.float32,
+        )
+
+        def loss(p):
+            return jnp.sum(hash_encode_01(p, cfg, x))
+
+        g = jax.grad(loss)(params)["embeddings"]
+        cfg32 = dc.replace(cfg, table_dtype="float32")
+        g32 = jax.grad(lambda p: jnp.sum(hash_encode_01(p, cfg32, x)))(params)[
+            "embeddings"
+        ]
+        # bf16 gather of the VALUES doesn't affect the (value-independent)
+        # smoothstep-weight gradient; accumulation error must stay tiny
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(g32), rtol=1e-2, atol=1e-4
+        )
+        assert float(jnp.abs(g).max()) > 0

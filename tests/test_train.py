@@ -77,6 +77,38 @@ class TestOptimizer:
                     np.asarray(a), np.asarray(b), rtol=0, atol=1e-7
                 )
 
+    def test_flat_adam_grid_matches_multi_transform(self):
+        """Grid-mode fused Adam (per-leaf lr-scale in raveled space) must
+        reproduce the optax.multi_transform 3-group reference exactly."""
+        import dataclasses as dc
+        import optax
+
+        cfg = tiny_cfg(use_grid=True)
+        params = init_monosdf(jax.random.PRNGKey(0), cfg)
+        ocfg = OptimConfig(
+            learning_rate=1e-3, lr_factor_for_grid=20.0,
+            decay_steps=1000, grid_mode=True,
+        )
+        ref = make_optimizer(dc.replace(ocfg, fused=False))
+        fused = make_optimizer(ocfg)
+        s_ref, s_fus = ref.init(params), fused.init(params)
+        p_ref = p_fus = params
+        for i in range(3):
+            key = jax.random.PRNGKey(20 + i)
+            grads = jax.tree_util.tree_map(
+                lambda p: jax.random.normal(key, p.shape, p.dtype), p_ref
+            )
+            u_ref, s_ref = ref.update(grads, s_ref, p_ref)
+            u_fus, s_fus = fused.update(grads, s_fus, p_fus)
+            p_ref = optax.apply_updates(p_ref, u_ref)
+            p_fus = optax.apply_updates(p_fus, u_fus)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_fus)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=1e-7
+            )
+
     def test_grid_mode_group_lrs(self):
         cfg = tiny_cfg(use_grid=True)
         params = init_monosdf(jax.random.PRNGKey(0), cfg)
@@ -155,34 +187,68 @@ class TestParallel:
         state, metrics2 = pstep(state, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics2["loss"]))
 
-    def test_parallel_matches_serial_gradient_semantics(self):
-        """pmean of per-shard grads == grad of mean of per-shard losses.
-        With identical data on every shard, the parallel update must equal
-        the single-device update."""
-        cfg = tiny_cfg()
+    @pytest.mark.parametrize("use_grid", [False, True], ids=["mlp", "grid"])
+    def test_parallel_matches_serial_gradient_exact(self, use_grid):
+        """DDP semantics are exactly testable: shard i draws
+        fold_in(key, i), so a serial emulation that computes each 8-ray
+        chunk's gradient with the same folded key and averages them must
+        reproduce the parallel step's pmean'd update to float32 precision
+        (reference semantics: exp_runner.py:74-77 per-rank batches +
+        DDP gradient all-reduce)."""
+        import optax
+        from monosdf_tpu.losses import monosdf_loss
+        from monosdf_tpu.models import render_rays
+        from monosdf_tpu.train import init_train_state
+
+        cfg = tiny_cfg(use_grid=use_grid)
+        loss_cfg = LossConfig()
         scene = make_synthetic_sphere_scene(n_images=2, img_res=8)
         params = init_monosdf(jax.random.PRNGKey(0), cfg)
-        opt = make_optimizer(OptimConfig(decay_steps=1000))
+        # SGD(1.0): the post-step param delta IS the gradient, so the
+        # assert below compares pmean(grads) vs the serial mean directly
+        # (Adam's g/(|g|+eps) normalization would amplify f32 reassociation
+        # noise near zero-gradient params by ~1/eps).
+        opt = optax.sgd(1.0)
+        n_dev, per_shard = 8, 8
+        batch = jnp_batch(
+            sample_ray_batch(scene, np.random.default_rng(3), n_dev * per_shard)
+        )
+        key = jax.random.PRNGKey(7)
 
-        batch1 = jnp_batch(sample_ray_batch(scene, np.random.default_rng(3), 8))
+        # serial emulation of the 8 shards (mirrors mesh.py's loss_fn)
+        def loss_fn(params, batch, key, step):
+            outputs = render_rays(
+                params, cfg, batch["rays"], key, training=True, image_code=None
+            )
+            return monosdf_loss(loss_cfg, outputs, batch["gt"], step=step)["loss"]
 
-        # serial step on the 8-ray batch
-        from monosdf_tpu.train import init_train_state
-        step = jax.jit(make_train_step(cfg, LossConfig(), opt))
-        sstate, smetrics = step(init_train_state(params, opt), batch1, jax.random.PRNGKey(7))
+        grad_fn = jax.jit(jax.grad(loss_fn), static_argnames=())
+        chunk_grads = []
+        for i in range(n_dev):
+            chunk = jax.tree_util.tree_map(
+                lambda x: x[i * per_shard:(i + 1) * per_shard], batch
+            )
+            chunk_grads.append(
+                grad_fn(params, chunk, jax.random.fold_in(key, i), jnp.int32(0))
+            )
+        mean_grads = jax.tree_util.tree_map(
+            lambda *gs: sum(gs[1:], gs[0]) / n_dev, *chunk_grads
+        )
+        s0 = init_train_state(params, opt)
+        updates, _ = opt.update(mean_grads, s0.opt_state, params)
+        serial_params = optax.apply_updates(params, updates)
 
-        # parallel: same 8 rays tiled onto all 8 shards, same fold_in key per
-        # shard would differ -> so compare only loss value determinism range
+        # parallel step on the same 64 rays over the 8-device mesh
         mesh = make_mesh(jax.devices()[:8])
         pstep = make_parallel_train_step(cfg, LossConfig(), opt, mesh)
-        batch8 = jax.tree_util.tree_map(
-            lambda x: jnp.concatenate([x] * 8, axis=0), batch1
-        )
         pstate = replicate(init_train_state(params, opt), mesh)
-        batch8 = shard_batch(batch8, mesh)
-        pstate, pmetrics = pstep(pstate, batch8, jax.random.PRNGKey(7))
-        # Losses use different per-shard RNG (sampler jitter) so allow slack;
-        # they must be in the same ballpark as the serial loss.
-        assert abs(float(pmetrics["loss"]) - float(smetrics["loss"])) < 0.5 * (
-            1.0 + abs(float(smetrics["loss"]))
-        )
+        pstate, _ = pstep(pstate, shard_batch(batch, mesh), key)
+
+        flat_s = jax.tree_util.tree_leaves_with_path(serial_params)
+        flat_p = dict(jax.tree_util.tree_leaves_with_path(pstate.params))
+        for path, s in flat_s:
+            p = np.asarray(flat_p[path])
+            np.testing.assert_allclose(
+                p, np.asarray(s), rtol=0, atol=1e-6,
+                err_msg=f"param {jax.tree_util.keystr(path)} diverges",
+            )
