@@ -26,6 +26,13 @@ def main():
     ap.add_argument("--data_root", default="../data")
     ap.add_argument("--exps_root", default="../exps")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--load_from", default=None,
+                    help="warm-start from another run's latest checkpoint, "
+                         "matched by run-dir prefix (exp_runner.py:29)")
+    ap.add_argument("--prefix", default="",
+                    help="expname prefix (exp_runner.py:27)")
+    ap.add_argument("--append", default="",
+                    help="expname suffix (exp_runner.py:26)")
     ap.add_argument("--timestamp", default=None)
     ap.add_argument("--max_iters", type=int, default=None)
     ap.add_argument("--n_devices", type=int, default=0, help="0 = all local devices")
@@ -66,8 +73,10 @@ def main():
         train_ds.pixel_rays(),
         val_images=val_images,
         exps_root=args.exps_root,
-        expname_suffix=f"_{args.scan_id}" if args.scan_id else "",
+        expname_suffix=(f"_{args.scan_id}" if args.scan_id else "") + args.append,
+        expname_prefix=args.prefix,
         resume=args.resume,
+        load_from=args.load_from,
         timestamp=args.timestamp,
         seed=args.seed,
         n_devices=n_devices,

@@ -29,8 +29,9 @@ class OptimConfig:
     # Run the Adam update on ONE raveled parameter vector instead of
     # per-leaf ops (numerically identical elementwise math; ~350 tiny XLA
     # ops collapse into a handful of vector ops — measured ~0.5 ms/step at
-    # the ScanNet MLP budget). MLP mode only; grid mode keeps per-group
-    # multi_transform.
+    # the ScanNet MLP budget). In grid mode the x20 encoding lr rides a
+    # per-leaf scale vector in raveled space (same updates as the per-group
+    # multi_transform path, which remains available via fused=False).
     fused: bool = True
 
 

@@ -42,7 +42,9 @@ class Trainer:
         val_images=None,          # list of dataset.image_rays(i) dicts
         exps_root: str = "../exps",
         expname_suffix: str = "",
+        expname_prefix: str = "",
         resume: bool = False,
+        load_from: str | None = None,
         timestamp: str | None = None,
         seed: int = 0,
         n_devices: int = 1,
@@ -55,8 +57,10 @@ class Trainer:
         self.n_devices = n_devices
         self.scale, self.center = scale, center
 
-        # experiment dir layout (reference monosdf_train.py:104-138)
-        name = exp.expname + expname_suffix
+        # experiment dir layout (reference monosdf_train.py:104-138);
+        # prefix/suffix mirror exp_runner.py --prefix/--append + scan_id
+        # (monosdf_train.py:56-61)
+        name = expname_prefix + exp.expname + expname_suffix
         if resume:
             timestamp = timestamp or self._find_latest_run(exps_root, name)
         timestamp = timestamp or datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
@@ -94,6 +98,38 @@ class Trainer:
             self.state = restore_state(self.state, payload)
             self.start_epoch = payload["epoch"]
             print(f"resumed from step {payload['step']} (epoch {payload['epoch']})")
+        elif load_from:
+            # warm-start THIS run from another experiment's latest checkpoint,
+            # found by run-dir prefix (reference exp_runner.py --load_from +
+            # monosdf_train.py:70-84 startswith match; ambiguity resolves to
+            # the lexicographically last = newest timestamped run)
+            def _matches(d):
+                # run dirs are "{YYYYMMDD-HHMMSS}-{name}": accept a prefix of
+                # the full dir name OR of the experiment-name part, matching
+                # the reference's expname-based startswith lookup
+                name_part = d.split("-", 2)[-1]
+                return d.startswith(load_from) or name_part.startswith(load_from)
+
+            cands = sorted(
+                d for d in os.listdir(exps_root)
+                if _matches(d)
+                and os.path.exists(
+                    os.path.join(exps_root, d, "checkpoints", "latest.ckpt")
+                )
+            )
+            if not cands:
+                raise FileNotFoundError(
+                    f"--load_from: no run matching prefix {load_from!r} with a "
+                    f"checkpoint under {exps_root}"
+                )
+            src = os.path.join(exps_root, cands[-1], "checkpoints")
+            payload = load_checkpoint(src)
+            self.state = restore_state(self.state, payload)
+            self.start_epoch = payload["epoch"]
+            print(
+                f"loaded from {cands[-1]} (step {payload['step']}, "
+                f"epoch {payload['epoch']})"
+            )
 
         n_rays_total = train_rays["rays_o"].shape[0]
         self.iters_per_epoch = max(1, n_rays_total // exp.num_pixels)

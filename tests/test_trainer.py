@@ -95,6 +95,30 @@ class TestTrainerLoop:
         tr2.train(log_every=10)  # resumes at iter 20 == max -> immediate save
         assert int(jax.device_get(tr2.state.step)) == 20
 
+    def test_load_from_warm_starts_new_experiment(self, tmp_path, scene):
+        """--load_from PREFIX: a NEW run (own dir/prefix) starts from another
+        experiment's latest checkpoint (reference exp_runner.py:29 +
+        monosdf_train.py:70-84)."""
+        exp = tiny_exp(max_total_iters=10)
+        tr = Trainer(exp, scene, exps_root=str(tmp_path), seed=0,
+                     timestamp="20260101-000000")
+        tr.train(log_every=10)
+
+        tr2 = Trainer(exp, scene, exps_root=str(tmp_path), seed=1,
+                      expname_prefix="warm_", load_from="unit",
+                      timestamp="20260101-000002")
+        assert tr2.run_dir != tr.run_dir
+        assert os.path.basename(tr2.run_dir) == "20260101-000002-warm_unit"
+        assert int(jax.device_get(tr2.state.step)) == 10
+        p1 = jax.tree_util.tree_leaves(jax.device_get(tr.state.params))
+        p2 = jax.tree_util.tree_leaves(jax.device_get(tr2.state.params))
+        for a, b in zip(p1, p2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        with pytest.raises(FileNotFoundError):
+            Trainer(exp, scene, exps_root=str(tmp_path), seed=1,
+                    load_from="nosuch", timestamp="20260101-000003")
+
     def test_divergence_guard_saves_crash_checkpoint(self, tmp_path, scene):
         exp = tiny_exp(max_total_iters=30)
         tr = Trainer(exp, scene, exps_root=str(tmp_path), seed=0,
