@@ -109,20 +109,29 @@ MULTIRES = 6
 FEAT = 64
 SPHERE = 1.1
 
+# Production ScanNet-MLP shapes (real_DormRoom_v1_MLP.conf:14-17 /
+# network.py:51-96): 8x256 SDF with skip@4, 2x256 radiance, feat 256.
+PROD = dict(dims=(256,) * 8, skip=(4,), feat=256, rdims=(256, 256),
+            inside_outside=True, bias=0.9)
+SMALL = dict(dims=DIMS, skip=SKIP, feat=FEAT, rdims=(64, 64),
+             inside_outside=False, bias=0.6)
 
-def _our_cfg():
+
+def _our_cfg(shape=SMALL):
     from monosdf_tpu.models import MonoSDFConfig
     from monosdf_tpu.models.fields import ImplicitNetConfig, RenderingNetConfig
     from monosdf_tpu.ops.sampler import SamplerConfig
 
     return MonoSDFConfig(
         implicit=ImplicitNetConfig(
-            feature_vector_size=FEAT, dims=DIMS, skip_in=SKIP,
-            multires=MULTIRES, inside_outside=False, bias=0.6,
+            feature_vector_size=shape["feat"], dims=shape["dims"],
+            skip_in=shape["skip"], multires=MULTIRES,
+            inside_outside=shape["inside_outside"], bias=shape["bias"],
             sdf_bounding_sphere=SPHERE,
         ),
         rendering=RenderingNetConfig(
-            feature_vector_size=FEAT, dims=(64, 64), multires_view=4
+            feature_vector_size=shape["feat"], dims=shape["rdims"],
+            multires_view=4,
         ),
         sampler=SamplerConfig(
             scene_bounding_sphere=SPHERE, N_samples=16, N_samples_eval=32,
@@ -132,19 +141,20 @@ def _our_cfg():
     )
 
 
-def _ref_conf():
+def _ref_conf(shape=SMALL):
     return MiniConf({
-        "feature_vector_size": FEAT,
+        "feature_vector_size": shape["feat"],
         "scene_bounding_sphere": SPHERE,
         "white_bkgd": False,
         "Grid_MLP": False,
         "implicit_network": {
-            "d_in": 3, "d_out": 1, "dims": list(DIMS),
-            "geometric_init": True, "bias": 0.6, "skip_in": list(SKIP),
-            "weight_norm": True, "multires": MULTIRES, "inside_outside": False,
+            "d_in": 3, "d_out": 1, "dims": list(shape["dims"]),
+            "geometric_init": True, "bias": shape["bias"],
+            "skip_in": list(shape["skip"]), "weight_norm": True,
+            "multires": MULTIRES, "inside_outside": shape["inside_outside"],
         },
         "rendering_network": {
-            "mode": "idr", "d_in": 9, "d_out": 3, "dims": [64, 64],
+            "mode": "idr", "d_in": 9, "d_out": 3, "dims": list(shape["rdims"]),
             "weight_norm": True, "multires_view": 4, "per_image_code": False,
         },
         "density": {"params_init": {"beta": 0.1}, "beta_min": 1e-4},
@@ -171,13 +181,13 @@ def _copy_linear(our_p, t_lin):
         t_lin.bias.copy_(torch.from_numpy(np.asarray(our_p["b"]).copy()))
 
 
-def _build_pair(ref_modules, seed=0):
+def _build_pair(ref_modules, seed=0, shape=SMALL):
     """(our params, our cfg, reference torch model with copied params)."""
     from monosdf_tpu.models import init_monosdf
 
-    cfg = _our_cfg()
+    cfg = _our_cfg(shape)
     params = init_monosdf(jax.random.PRNGKey(seed), cfg)
-    model = ref_modules.MonoSDFNetwork(_ref_conf())
+    model = ref_modules.MonoSDFNetwork(_ref_conf(shape))
     model.eval()
 
     n_imp = cfg.implicit.num_layers - 1
@@ -244,6 +254,66 @@ class TestImplicitParity:
             np.testing.assert_allclose(
                 ours_v, theirs_v, atol=2e-5,
                 err_msg=f"lin{l} weight_v grad mismatch",
+            )
+
+
+class TestProductionWidthParity:
+    """Same contracts at the benchmarked production shapes (ScanNet MLP:
+    8x256 SDF skip@4, 2x256 radiance, feat 256 — real_DormRoom_v1_MLP.conf,
+    network.py:51-96). Guards against width-dependent drift (skip-concat
+    scaling, weight-norm accumulation order) that the 64-wide cases could
+    mask."""
+
+    def test_forward_and_radiance(self, ref_modules):
+        params, cfg, model = _build_pair(ref_modules, shape=PROD)
+        from monosdf_tpu.models.fields import implicit_apply, rendering_apply
+
+        rng = np.random.default_rng(10)
+        x = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+        ours = np.asarray(implicit_apply(params["implicit"], cfg.implicit,
+                                         jnp.asarray(x)))
+        theirs = model.implicit_network(torch.from_numpy(x)).detach().numpy()
+        np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+        n = rng.normal(size=(64, 3)).astype(np.float32)
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        v = rng.normal(size=(64, 3)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        feat = ours[:, 1:].astype(np.float32)
+        ours_rgb = np.asarray(rendering_apply(
+            params["rendering"], cfg.rendering, jnp.asarray(x),
+            jnp.asarray(n), jnp.asarray(v), jnp.asarray(feat))["rgb"])
+        theirs_rgb = model.rendering_network(
+            torch.from_numpy(x), torch.from_numpy(n), torch.from_numpy(v),
+            torch.from_numpy(feat), indices=None, if_pixel_input=True,
+        )["rgb"].detach().numpy()
+        np.testing.assert_allclose(ours_rgb, theirs_rgb.reshape(ours_rgb.shape),
+                                   atol=2e-5)
+
+    def test_param_grads_through_eikonal(self, ref_modules):
+        params, cfg, model = _build_pair(ref_modules, shape=PROD)
+        from monosdf_tpu.models.fields import sdf_gradient
+
+        x = np.random.default_rng(11).uniform(-1, 1, (16, 3)).astype(np.float32)
+
+        def our_loss(p):
+            g = sdf_gradient(p, cfg.implicit, jnp.asarray(x))
+            return jnp.mean((jnp.linalg.norm(g, axis=-1) - 1.0) ** 2)
+
+        our_g = jax.grad(our_loss)(params["implicit"])
+
+        xt = torch.from_numpy(x.copy())
+        gt = model.implicit_network.gradient_sdf(xt).reshape(-1, 3)
+        loss = ((gt.norm(dim=-1) - 1.0) ** 2).mean()
+        loss.backward()
+
+        for l in range(cfg.implicit.num_layers - 1):
+            t_lin = getattr(model.implicit_network, f"lin{l}")
+            ours_v = np.asarray(our_g[f"lin{l}"]["v"])
+            theirs_v = t_lin.weight_v.grad.detach().numpy().T
+            np.testing.assert_allclose(
+                ours_v, theirs_v, atol=2e-4,
+                err_msg=f"lin{l} weight_v grad mismatch (production width)",
             )
 
 
