@@ -74,6 +74,8 @@ def build_configs(conf: dict) -> ExperimentConfig:
         # measured-fastest encodings on a v5e (see HashGridConfig docstring)
         table_dtype=str(_get(imp, "table_dtype", "bfloat16")),
         scatter_impl=str(_get(imp, "scatter_impl", "flat")),
+        hash_scheme=str(_get(imp, "hash_scheme", "xor")),
+        layout=str(_get(imp, "hash_layout", "rows")),
     )
     implicit = ImplicitNetConfig(
         feature_vector_size=feat,
@@ -109,6 +111,7 @@ def build_configs(conf: dict) -> ExperimentConfig:
     )
 
     rs = model.get("ray_sampler", {})
+    tpu_pre = conf.get("tpu", {})
     sampler = SamplerConfig(
         scene_bounding_sphere=scene_r,
         near=float(_get(rs, "near", 0.0)),
@@ -120,11 +123,13 @@ def build_configs(conf: dict) -> ExperimentConfig:
         beta_iters=int(_get(rs, "beta_iters", 10)),
         max_total_iters=int(_get(rs, "max_total_iters", 5)),
         intersection=str(_get(rs, "intersection", "cube")),
+        machinery=str(_get(tpu_pre, "sampler_machinery", "jnp")),
     )
 
     den = model.get("density", {})
     # framework extension (no reference analog): TPU execution knobs.
-    # tpu { mixed_precision, compute_dtype, sampler_backend, diff_backend }
+    # tpu { mixed_precision, compute_dtype, sampler_backend, diff_backend,
+    #       rgb_backend, sampler_machinery }
     tpu = conf.get("tpu", {})
     model_cfg = MonoSDFConfig(
         implicit=implicit,

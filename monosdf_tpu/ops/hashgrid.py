@@ -29,6 +29,12 @@ import jax
 import jax.numpy as jnp
 
 _PRIMES = (1, 2654435761, 805459861)
+# Additive-scheme multipliers: the xor primes reduced mod 2^19. For every
+# power-of-two hashmap level (all hashed levels of the flagship schedule)
+# ``(y * p) % 2^k == (y * (p % 2^k)) % 2^k`` — identical mixing — while the
+# reduced values keep ``x + y*P1 + z*P2`` below 2^32 for coords <= 2048, so
+# uint32 arithmetic is exact and ``% hms`` is a true mod for ANY level size.
+_ADD_MULTS = (1, 2654435761 % (1 << 19), 805459861 % (1 << 19))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,6 +60,20 @@ class HashGridConfig:
     # measured 1910 ms — XLA decomposes complex scatters pathologically —
     # and is kept only as a correctness-tested curiosity.
     scatter_impl: str = "flat"
+    # Corner-index scheme. 'xor' is the reference hash (hashencoder.cu:54-72).
+    # 'add' replaces the xor mix with ``x + y*P1 + z*P2 (mod hms)`` — for
+    # power-of-two hash levels this is the same family of multiplicative
+    # mixing, and it makes the index AFFINE in the corner offsets, which is
+    # what the 'quad' layout needs. Dense levels are identical under both.
+    hash_scheme: str = "xor"
+    # Table layout for the gather. 'rows': gather one (C,)-row per corner
+    # (8 x L rows/point). 'quad': gather from a derived corner-duplicated
+    # table whose row j packs the 4 (x0/x1, y0/y1) corner entries of cell j
+    # — 2 rows of 4C channels per level-point. Measured on a v5e the row
+    # gather costs ~6 ns/row nearly independent of row width up to 16 B, so
+    # quad (16 B rows, 4x fewer of them) cuts the sweep gather ~3x.
+    # Requires hash_scheme='add'.
+    layout: str = "rows"
 
     @property
     def scale(self) -> float:
@@ -174,40 +194,65 @@ def _corner_index(pos_grid, hashmap_size: int, resolution: int, dense: bool):
     return (index % jnp.uint32(hashmap_size)).astype(jnp.int32)
 
 
-def hash_encode_01(params: dict, cfg: HashGridConfig, x01: jnp.ndarray) -> jnp.ndarray:
-    """Encode points already mapped to [0,1]^D. x01: (B, D) -> (B, L*C).
+def _level_shifts(cfg: HashGridConfig):
+    """Per-level affine corner strides (s1, s2) for the 'add' scheme:
+    idx(x, y, z) = (x + y*s1 + z*s2) mod hms. Dense levels use the linear
+    strides (res, res^2) — identical to the reference's dense rule; hashed
+    levels use the reduced multiplicative constants (see _ADD_MULTS)."""
+    out = []
+    for off, hms, res, _ in cfg.level_params():
+        if res ** cfg.input_dim <= hms:
+            out.append((res, res * res))
+        else:
+            out.append((_ADD_MULTS[1] % hms, _ADD_MULTS[2] % hms))
+    return out
 
-    Output layout is level-major per point: [B, L*C] with level blocks of C,
-    matching the reference's permute at hashgrid.py:44.
 
-    TPU-shaped: all levels are processed as one vectorized (L, B, D) batch
-    and the 8 corner lookups collapse into a SINGLE flat gather of
-    (8, L, B) indices from the table — one fused HBM gather kernel instead
-    of levels x corners separate takes (and one deterministic scatter-add in
-    the transpose/backward).
+def build_quad_table(params: dict, cfg: HashGridConfig) -> jnp.ndarray:
+    """Derive the corner-duplicated gather table: (table_size, 4*C), where
+    row j of level block l packs the entries of the 4 (x0/x1, y0/y1)
+    corners of cell-row j: [T[j], T[j+1], T[j+s1], T[j+s1+1]] (cyclic per
+    level, matching the additive index's mod-hms wraparound).
+
+    Rebuilt from the master table every step: 16 static slices + rolls +
+    one concat — pure sequential HBM bandwidth (~100 MB at bf16 for the
+    flagship table), vs the ~6 ns/row cost of every random gather row it
+    saves. Differentiable: the roll/concat transpose folds the duplicated
+    gradient back into the master table automatically.
     """
+    assert cfg.hash_scheme == "add", "quad layout requires the additive scheme"
     emb = params["embeddings"]
     if cfg.table_dtype != "float32":
         emb = emb.astype(jnp.dtype(cfg.table_dtype))
+    shifts = _level_shifts(cfg)
+    blocks = []
+    for (off, hms, _, _), (s1, _) in zip(cfg.level_params(), shifts):
+        blk = jax.lax.slice_in_dim(emb, off, off + hms, axis=0)
+        blocks.append(
+            jnp.concatenate(
+                [
+                    blk,
+                    jnp.roll(blk, -1, axis=0),
+                    jnp.roll(blk, -(s1 % hms), axis=0),
+                    jnp.roll(blk, -((s1 + 1) % hms), axis=0),
+                ],
+                axis=-1,
+            )
+        )
+    return jnp.concatenate(blocks, axis=0)  # (T, 4C)
+
+
+def _encode_core(cfg: HashGridConfig, x01: jnp.ndarray):
+    """Shared per-level geometry: smoothstep weights + per-corner/cell
+    integer coordinates. Returns (pos_grid (L,B,D) i32, w (L,B,D),
+    in_bounds (1,B,1)), plus the static per-level constant arrays."""
     B, D = x01.shape
     assert D == cfg.input_dim
-    C = cfg.level_dim
-    L = cfg.num_levels
-
     levels = cfg.level_params()
     off_arr = jnp.asarray([lv[0] for lv in levels], jnp.int32)  # (L,)
     hms_arr = jnp.asarray([lv[1] for lv in levels], jnp.uint32)
     res_arr = jnp.asarray([lv[2] for lv in levels], jnp.int32)
     fscale_arr = jnp.asarray([lv[3] for lv in levels], x01.dtype)
-    dense_mask = jnp.asarray(
-        [lv[2] ** D <= lv[1] for lv in levels], bool
-    )  # (L,)
-    # dense strides (res^0, res^1, res^2); only meaningful where dense
-    res_u = res_arr.astype(jnp.uint32)
-    strides = jnp.stack(
-        [jnp.ones_like(res_u)] + [res_u ** d for d in range(1, D)], axis=-1
-    )  # (L, D)
-    primes = jnp.asarray(_PRIMES[:D], jnp.uint32)
 
     oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)  # (B,)
     in_bounds = (1.0 - oob.astype(x01.dtype))[None, :, None]  # (1,B,1)
@@ -218,6 +263,84 @@ def hash_encode_01(params: dict, cfg: HashGridConfig, x01: jnp.ndarray) -> jnp.n
     ).astype(jnp.int32)
     frac = pos - pos_grid.astype(x01.dtype)
     w = _smoothstep(jnp.clip(frac, 0.0, 1.0))  # (L,B,D)
+    return pos_grid, w, in_bounds, off_arr, hms_arr, res_arr
+
+
+def _encode_quad(params: dict, cfg: HashGridConfig, x01: jnp.ndarray):
+    """'quad' layout: 2 gathers of 16-byte rows per level-point from the
+    corner-duplicated table (the measured v5e optimum; see HashGridConfig)."""
+    B, D = x01.shape
+    C = cfg.level_dim
+    L = cfg.num_levels
+    quad = build_quad_table(params, cfg)
+
+    pos_grid, w, in_bounds, off_arr, hms_arr, _ = _encode_core(cfg, x01)
+    shifts = _level_shifts(cfg)
+    s1_arr = jnp.asarray([s[0] for s in shifts], jnp.uint32)
+    s2_arr = jnp.asarray([s[1] for s in shifts], jnp.uint32)
+
+    pg = pos_grid.astype(jnp.uint32)  # (L,B,D)
+    # affine cell index; no uint32 overflow (coords <= 2048, mults < 2^19)
+    base = (
+        pg[..., 0]
+        + pg[..., 1] * s1_arr[:, None]
+        + pg[..., 2] * s2_arr[:, None]
+    )  # (L,B)
+    hms = hms_arr[:, None]
+    row0 = (base % hms).astype(jnp.int32) + off_arr[:, None]
+    row1 = ((base + s2_arr[:, None]) % hms).astype(jnp.int32) + off_arr[:, None]
+    rows = jnp.stack([row0, row1], axis=0)  # (2,L,B)
+
+    vals = _table_take(quad, rows.reshape(-1), cfg.scatter_impl)
+    vals = vals.reshape(2, L, B, 4, C)
+
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]  # (L,B)
+    quad_w = jnp.stack(
+        [(1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy], axis=-1
+    )  # (L,B,4)
+    zw = jnp.stack([1.0 - wz, wz], axis=0)  # (2,L,B)
+    level_out = jnp.einsum(
+        "klbq,klbqc->lbc", zw[..., None] * quad_w[None], vals.astype(w.dtype)
+    )  # (L,B,C)
+
+    out = level_out * in_bounds
+    return jnp.moveaxis(out, 0, 1).reshape(B, L * C)
+
+
+def hash_encode_01(params: dict, cfg: HashGridConfig, x01: jnp.ndarray) -> jnp.ndarray:
+    """Encode points already mapped to [0,1]^D. x01: (B, D) -> (B, L*C).
+
+    Output layout is level-major per point: [B, L*C] with level blocks of C,
+    matching the reference's permute at hashgrid.py:44.
+
+    TPU-shaped: all levels are processed as one vectorized (L, B, D) batch
+    and the 8 corner lookups collapse into a SINGLE flat gather of
+    (8, L, B) indices from the table — one fused HBM gather kernel instead
+    of levels x corners separate takes (and one deterministic scatter-add in
+    the transpose/backward). With ``layout='quad'`` the gather drops to
+    (2, L, B) wide rows from the corner-duplicated table.
+    """
+    if cfg.layout == "quad":
+        return _encode_quad(params, cfg, x01)
+    assert cfg.layout == "rows", cfg.layout
+
+    emb = params["embeddings"]
+    if cfg.table_dtype != "float32":
+        emb = emb.astype(jnp.dtype(cfg.table_dtype))
+    B, D = x01.shape
+    C = cfg.level_dim
+    L = cfg.num_levels
+
+    pos_grid, w, in_bounds, off_arr, hms_arr, res_arr = _encode_core(cfg, x01)
+    levels = cfg.level_params()
+    dense_mask = jnp.asarray(
+        [lv[2] ** D <= lv[1] for lv in levels], bool
+    )  # (L,)
+    # dense strides (res^0, res^1, res^2); only meaningful where dense
+    res_u = res_arr.astype(jnp.uint32)
+    strides = jnp.stack(
+        [jnp.ones_like(res_u)] + [res_u ** d for d in range(1, D)], axis=-1
+    )  # (L, D)
 
     # corner indices for all 8 corners at once -> (8,L,B)
     corner_bits = np.array(
@@ -228,9 +351,21 @@ def hash_encode_01(params: dict, cfg: HashGridConfig, x01: jnp.ndarray) -> jnp.n
         jnp.uint32
     )  # (8,L,B,D)
     dense_idx = jnp.sum(cg * strides[None, :, None, :], axis=-1)  # (8,L,B)
-    hash_idx = cg[..., 0] * primes[0]
-    for d in range(1, D):
-        hash_idx = hash_idx ^ (cg[..., d] * primes[d])
+    if cfg.hash_scheme == "add":
+        shifts = _level_shifts(cfg)
+        s1_arr = jnp.asarray([s[0] for s in shifts], jnp.uint32)
+        s2_arr = jnp.asarray([s[1] for s in shifts], jnp.uint32)
+        hash_idx = (
+            cg[..., 0]
+            + cg[..., 1] * s1_arr[None, :, None]
+            + cg[..., 2] * s2_arr[None, :, None]
+        )
+    else:
+        assert cfg.hash_scheme == "xor", cfg.hash_scheme
+        primes = jnp.asarray(_PRIMES[:D], jnp.uint32)
+        hash_idx = cg[..., 0] * primes[0]
+        for d in range(1, D):
+            hash_idx = hash_idx ^ (cg[..., d] * primes[d])
     idx = jnp.where(dense_mask[None, :, None], dense_idx, hash_idx)
     idx = (idx % hms_arr[None, :, None]).astype(jnp.int32) + off_arr[None, :, None]
 

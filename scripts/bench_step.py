@@ -31,6 +31,9 @@ def main():
                     help="hash-table gather dtype (grid mode)")
     ap.add_argument("--scatter", default="flat",
                     help="table-grad scatter impl: flat|c64|rows (grid mode)")
+    ap.add_argument("--hash_scheme", default="xor", help="xor|add (grid mode)")
+    ap.add_argument("--layout", default="rows",
+                    help="gather layout: rows|quad (grid mode; quad needs add)")
     ap.add_argument("--f32", action="store_true", help="disable mixed precision")
     ap.add_argument("--nofold", action="store_true", help="separate eikonal kernel call")
     ap.add_argument("--nofused_opt", action="store_true", help="per-leaf optax.adam")
@@ -58,6 +61,7 @@ def main():
                 num_levels=16, level_dim=2, base_resolution=16,
                 log2_hashmap_size=19, desired_resolution=2048,
                 table_dtype=args.table_dtype, scatter_impl=args.scatter,
+                hash_scheme=args.hash_scheme, layout=args.layout,
             ),
             divide_factor=1.1, sdf_bounding_sphere=0.0,
         )
@@ -121,6 +125,8 @@ def main():
         "grid": args.grid,
         "table_dtype": args.table_dtype if args.grid else None,
         "scatter": args.scatter if args.grid else None,
+        "hash_scheme": args.hash_scheme if args.grid else None,
+        "layout": args.layout if args.grid else None,
         "ms_per_step": round(1e3 * dt / args.iters, 2),
         "rays_per_s": round(args.rays * args.iters / dt, 1),
         "compile_s": round(compile_s, 1),

@@ -224,3 +224,96 @@ class TestHashGrid:
             np.asarray(g), np.asarray(g32), rtol=1e-2, atol=1e-4
         )
         assert float(jnp.abs(g).max()) > 0
+
+
+class TestQuadLayout:
+    """The corner-duplicated 'quad' gather layout (2 wide rows per
+    level-point) must be EXACTLY the 'rows' gather under the same additive
+    scheme — same indices via the roll construction's mod-hms cyclicity —
+    at zeroth, first, and second order."""
+
+    def _cfg(self, **kw):
+        import dataclasses as dc
+
+        base = HashGridConfig(
+            num_levels=4, level_dim=2, base_resolution=4,
+            log2_hashmap_size=6, desired_resolution=32, hash_scheme="add",
+        )
+        return dc.replace(base, **kw)
+
+    def test_forward_exact(self):
+        rows_cfg = self._cfg(layout="rows")
+        quad_cfg = self._cfg(layout="quad")
+        params = init_hashgrid(jax.random.PRNGKey(2), rows_cfg)
+        x = jnp.asarray(
+            np.random.default_rng(7).uniform(0.0, 1.0, size=(64, 3)), jnp.float32
+        )
+        a = np.asarray(hash_encode_01(params, rows_cfg, x))
+        b = np.asarray(hash_encode_01(params, quad_cfg, x))
+        # identical indices/weights; only the reduction association differs
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-9)
+
+    def test_flagship_levels_forward_exact(self):
+        # the production schedule (16 levels, 2^19, 16->2048) includes the
+        # awkward hashed-but-not-pow2 boundary level; cover it
+        rows_cfg = self._cfg(
+            num_levels=16, base_resolution=16, log2_hashmap_size=19,
+            desired_resolution=2048, layout="rows",
+        )
+        quad_cfg = self._cfg(
+            num_levels=16, base_resolution=16, log2_hashmap_size=19,
+            desired_resolution=2048, layout="quad",
+        )
+        params = init_hashgrid(jax.random.PRNGKey(3), rows_cfg)
+        x = jnp.asarray(
+            np.random.default_rng(8).uniform(0.0, 1.0, size=(16, 3)), jnp.float32
+        )
+        a = np.asarray(hash_encode_01(params, rows_cfg, x))
+        b = np.asarray(hash_encode_01(params, quad_cfg, x))
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-9)
+
+    def test_grads_exact(self):
+        rows_cfg = self._cfg(layout="rows")
+        quad_cfg = self._cfg(layout="quad")
+        params = init_hashgrid(jax.random.PRNGKey(2), rows_cfg)
+        x = jnp.asarray(
+            np.random.default_rng(9).uniform(0.05, 0.95, size=(32, 3)),
+            jnp.float32,
+        )
+
+        def table_grad(cfg):
+            return jax.grad(
+                lambda p: jnp.sum(hash_encode_01(p, cfg, x) ** 2)
+            )(params)["embeddings"]
+
+        def eikonal_table_grad(cfg):
+            def eik(p):
+                g = jax.grad(lambda xx: jnp.sum(hash_encode_01(p, cfg, xx)))(x)
+                return jnp.sum(g**2)
+            return jax.grad(eik)(params)["embeddings"]
+
+        np.testing.assert_allclose(
+            np.asarray(table_grad(quad_cfg)), np.asarray(table_grad(rows_cfg)),
+            rtol=0, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(eikonal_table_grad(quad_cfg)),
+            np.asarray(eikonal_table_grad(rows_cfg)),
+            rtol=1e-6, atol=1e-5,
+        )
+
+    def test_spatial_gradient_finite_diff(self):
+        cfg = self._cfg(layout="quad")
+        params = init_hashgrid(jax.random.PRNGKey(2), cfg)
+        x0 = jnp.asarray([[0.33, 0.57, 0.41]], jnp.float32)
+
+        def f(xx):
+            return jnp.sum(hash_encode_01(params, cfg, xx))
+
+        g = np.asarray(jax.grad(lambda xx: f(xx))(x0))[0]
+        eps = 1e-3
+        for d in range(3):
+            dx = np.zeros((1, 3), np.float32)
+            dx[0, d] = eps
+            fd = (float(f(x0 + dx)) - float(f(x0 - dx))) / (2 * eps)
+            np.testing.assert_allclose(g[d], fd, rtol=2e-2, atol=1e-4)
