@@ -20,6 +20,7 @@ range, i.e. conservative for the reported ratio.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -38,6 +39,7 @@ def main():
     from monosdf_tpu.losses import LossConfig
     from monosdf_tpu.models import MonoSDFConfig, init_monosdf
     from monosdf_tpu.models.fields import ImplicitNetConfig, RenderingNetConfig
+    from monosdf_tpu.ops.hashgrid import HashGridConfig
     from monosdf_tpu.ops.sampler import SamplerConfig
     from monosdf_tpu.train import (
         OptimConfig,
@@ -46,11 +48,30 @@ def main():
         make_train_step,
     )
 
-    cfg = MonoSDFConfig(
-        implicit=ImplicitNetConfig(
+    # --grids: the flagship ScanNet-grids work budget instead (16-level
+    # 2^19 hash table via the quad-layout gather, 2x256 MLP). The default
+    # (driver) invocation stays the MLP config and ONE JSON line.
+    grids = "--grids" in sys.argv
+    if grids:
+        implicit = ImplicitNetConfig(
+            feature_vector_size=256, dims=(256, 256), multires=6,
+            inside_outside=True, bias=0.9, use_grid=True,
+            grid=HashGridConfig(
+                num_levels=16, level_dim=2, base_resolution=16,
+                log2_hashmap_size=19, desired_resolution=2048,
+                table_dtype="bfloat16", scatter_impl="flat",
+                hash_scheme="add", layout="quad",
+            ),
+            divide_factor=1.1, sdf_bounding_sphere=0.0,
+        )
+    else:
+        implicit = ImplicitNetConfig(
             feature_vector_size=256, dims=(256,) * 8, skip_in=(4,), multires=6,
             inside_outside=True, bias=0.9, sdf_bounding_sphere=1.1,
-        ),
+        )
+
+    cfg = MonoSDFConfig(
+        implicit=implicit,
         rendering=RenderingNetConfig(
             feature_vector_size=256, dims=(256, 256), multires_view=4
         ),
@@ -62,13 +83,17 @@ def main():
         scene_bounding_sphere=1.1,
         compute_dtype="bfloat16",
         mixed_precision=True,  # bf16 matmuls (f32 accum) in the diff'd path too
-        diff_backend="pallas",  # hand-written VMEM-resident backward (ops/pallas_sdf_grad.py)
-        sampler_backend="pallas",  # fused VMEM sweep MLP (ops/pallas_mlp.py)
-        rgb_backend="fused",  # wide-I/O radiance kernel, in-kernel normalize (ops/pallas_rgb_grad.py)
+        # the Pallas MLP kernels are MLP-mode only; grid mode runs the jnp
+        # path (the step is gather/scatter bound there, see PERFORMANCE.md)
+        diff_backend="jnp" if grids else "pallas",
+        sampler_backend="jnp" if grids else "pallas",
+        rgb_backend="jnp" if grids else "fused",
     )
 
     params = init_monosdf(jax.random.PRNGKey(0), cfg)
-    opt = make_optimizer(OptimConfig(learning_rate=5e-4, decay_steps=150_000))
+    opt = make_optimizer(
+        OptimConfig(learning_rate=5e-4, decay_steps=150_000, grid_mode=grids)
+    )
     state = init_train_state(params, opt)
     step = jax.jit(make_train_step(cfg, LossConfig(), opt), donate_argnums=(0,))
 
@@ -100,7 +125,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "rays/s/chip (fwd+bwd+opt), ScanNet MLP config",
+                "metric": (
+                    "rays/s/chip (fwd+bwd+opt), ScanNet grids config"
+                    if grids
+                    else "rays/s/chip (fwd+bwd+opt), ScanNet MLP config"
+                ),
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
