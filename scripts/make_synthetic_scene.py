@@ -35,14 +35,20 @@ def main():
     light /= np.linalg.norm(light)
 
     scene = os.path.join(args.out_root, "sphere_scene")
-    for sub in ("Image", "depth", "normal"):
+    for sub in ("Image", "depth", "normal", "ImMask"):
         os.makedirs(os.path.join(scene, sub), exist_ok=True)
 
+    # alternate elevations so the view set constrains the full surface
+    # (a single-ring setup leaves a shape-radiance ambiguity that stalls
+    # geometry even with depth cues)
+    elevations = (-0.35, 0.2, 0.6)
     cam = {}
     for i in range(args.n):
         ang = 2 * np.pi * i / args.n
+        el = elevations[i % len(elevations)]
+        r_xz = args.cam_dist * np.cos(el)
         eye = np.array(
-            [args.cam_dist * np.sin(ang), 0.3, -args.cam_dist * np.cos(ang)]
+            [r_xz * np.sin(ang), args.cam_dist * np.sin(el), -r_xz * np.cos(ang)]
         )
         pose = _look_at(eye)
 
@@ -97,6 +103,17 @@ def main():
             os.path.join(scene, "normal", f"{name}.npy"),
             ((normal_cam + 1) / 2).transpose(2, 0, 1).astype(np.float32),
         )
+        mask_img = (hit * 255).astype(np.uint8)
+        try:
+            import cv2
+
+            cv2.imwrite(os.path.join(scene, "ImMask", f"{name}.png"), mask_img)
+        except ImportError:
+            from PIL import Image
+
+            Image.fromarray(mask_img).save(
+                os.path.join(scene, "ImMask", f"{name}.png")
+            )
 
         w2c = np.linalg.inv(pose)
         P = np.eye(4)
