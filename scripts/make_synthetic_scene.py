@@ -76,8 +76,17 @@ def main():
         rgb = np.stack([lambert * 0.9, lambert * 0.6, lambert * 0.4], -1)
         rgb = np.where(hit[..., None], rgb, 1.0)
 
+        # GT-layout depth cue in RENDERED-depth units (camera-frame z-depth;
+        # if_gt_data=True trains with a direct MSE against this, so the
+        # units must match — no relative-depth normalization). Background
+        # rays get the bounding-sphere exit depth (masked out when
+        # use_mask=True).
         z_norm = dirs_cam[..., 2] / np.linalg.norm(dirs_cam, axis=-1)
-        depth_cue = np.where(hit, t * z_norm / (2 * args.cam_dist), 0.5)
+        b_sph = np.einsum("hwc,hwc->hw", dirs_world, o)
+        t_far = -b_sph + np.sqrt(
+            np.maximum(b_sph**2 - (np.sum(o**2, -1) - 1.1**2), 0.0)
+        )
+        depth_cue = np.where(hit, t * z_norm, t_far * z_norm)
         normal_cam = np.einsum("ij,hwj->hwi", pose[:3, :3].T, normal_world)
         normal_cam = np.where(hit[..., None], normal_cam, np.array([0.0, 0.0, -1.0]))
 
