@@ -336,7 +336,97 @@ def error_bound_z_vals(
     samples = z_vals  # final-draw carrier (matches reference variable role)
 
     # --- Algorithm 1, statically unrolled -----------------------------------
-    use_pallas_machinery = cfg.machinery == "pallas"
+    if cfg.machinery == "pallas_fused" and cfg.N_samples_eval == 128:
+        # Fully-fused per-iteration kernel (ops/pallas_sampler_fused.py):
+        # merge + bisection + bounds + inverse-CDF draw in ONE Pallas call,
+        # sample-major. Upsampling draws use DESCENDING linspace u — the
+        # same u set as the oracle (state parity as a set), emitted in the
+        # order the next merge's bitonic input needs. u is passed RAY-MAJOR
+        # padded to 128 (the kernel's tile-gather width; pad draws are
+        # sliced off). Requires N_samples_eval == 128 (every merged width
+        # is then a 128 multiple) — other configs fall through to the
+        # per-iteration machinery kernel below.
+        from .pallas_sampler_fused import sampler_fused_iter_nograd
+
+        mdt = jnp.dtype(cfg.machinery_dtype)
+        zT = z_vals.T  # (N, R) sample-major
+        sT = sdf.T
+        beta_T = beta[None, :]  # (1, R)
+        znT = snT = None
+        for it in range(cfg.max_total_iters):
+            last = it == cfg.max_total_iters - 1
+            if last:
+                m_draw = cfg.N_samples
+                if training:
+                    u_row = jax.random.uniform(
+                        k_final, (R, cfg.N_samples), dtype=dtype
+                    )
+                else:
+                    u_row = jnp.tile(
+                        jnp.linspace(0.0, 1.0, cfg.N_samples, dtype=dtype)[
+                            None, :
+                        ],
+                        (R, 1),
+                    )
+            else:
+                m_draw = cfg.N_samples_eval
+                u_row = jnp.tile(
+                    jnp.linspace(1.0, 0.0, cfg.N_samples_eval, dtype=dtype)[
+                        None, :
+                    ],
+                    (R, 1),
+                )
+            if m_draw < 128:
+                u_row = jnp.concatenate(
+                    [u_row, jnp.full((R, 128 - m_draw), 0.5, dtype)], axis=1
+                )
+            zT, sT, beta_T, draw_T = sampler_fused_iter_nograd(
+                zT, sT, znT, snT, beta_T, beta0, u_row,
+                eps=cfg.eps, add_tiny=cfg.add_tiny, last=last,
+                beta_iters=cfg.beta_iters, dtype=mdt,
+            )
+            draw_T = draw_T[:m_draw]
+            if not last:
+                pts = (
+                    rays_o[None, :, :]
+                    + draw_T[:, :, None] * rays_d[None, :, :]
+                )  # (M, R, 3)
+                snT = jax.lax.stop_gradient(sdf_fn(pts))
+                znT = draw_T
+            else:
+                samples = draw_T.T
+        z_vals = zT.T  # final merged state, row-major for the extra draw
+
+        near = jnp.full((R, 1), cfg.near, dtype=dtype)
+        if cfg.inverse_sphere_bg:
+            far = get_sphere_intersections(
+                rays_o, rays_d, r=cfg.scene_bounding_sphere
+            )[:, 1:].astype(dtype)
+        else:
+            far = jnp.full((R, 1), cfg.far_value, dtype=dtype)
+        if cfg.N_samples_extra > 0:
+            n_buf = z_vals.shape[1]
+            if training:
+                idx = jax.random.permutation(k_extra, n_buf)[
+                    : cfg.N_samples_extra
+                ]
+            else:
+                idx = jnp.linspace(0, n_buf - 1, cfg.N_samples_extra).astype(
+                    jnp.int32
+                )
+            z_vals_extra = jnp.concatenate([near, far, z_vals[:, idx]], axis=-1)
+        else:
+            z_vals_extra = jnp.concatenate([near, far], axis=-1)
+        z_final = jnp.sort(
+            jnp.concatenate([samples, z_vals_extra], axis=-1), axis=-1
+        )
+        eik_idx = jax.random.randint(k_eik, (R, 1), 0, z_final.shape[-1])
+        z_eik, _ = _onehot_gather2(z_final, z_final, eik_idx)
+        return jax.lax.stop_gradient(z_final), jax.lax.stop_gradient(z_eik)
+
+    use_pallas_machinery = cfg.machinery == "pallas" or (
+        cfg.machinery == "pallas_fused" and cfg.N_samples_eval != 128
+    )
     for it in range(cfg.max_total_iters):
         last = it == cfg.max_total_iters - 1
         if use_pallas_machinery:
