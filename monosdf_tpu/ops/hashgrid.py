@@ -59,6 +59,13 @@ class HashGridConfig:
     # exact encoding. 'c64' (both channels packed into one complex64 row)
     # measured 1910 ms — XLA decomposes complex scatters pathologically —
     # and is kept only as a correctness-tested curiosity.
+    # 'fold' / 'fold_pallas' (quad layout only): the corner-AFFINE backward —
+    # one (8C)-channel row per (point, level) at the base cell index, folded
+    # with 8 static per-level rolls (see _quad_take_fold). 'fold' scatters
+    # that row stream with XLA; 'fold_pallas' accumulates it in a VMEM-
+    # resident Pallas RMW kernel (ops/pallas_hash_scatter.py). Both are 8x
+    # fewer scatter rows than the per-corner encodings and keep the whole
+    # gradient path in f32 even for bf16 tables.
     scatter_impl: str = "flat"
     # Corner-index scheme. 'xor' is the reference hash (hashencoder.cu:54-72).
     # 'add' replaces the xor mix with ``x + y*P1 + z*P2 (mod hms)`` — for
@@ -242,6 +249,99 @@ def build_quad_table(params: dict, cfg: HashGridConfig) -> jnp.ndarray:
     return jnp.concatenate(blocks, axis=0)  # (T, 4C)
 
 
+def _quad_take_fold(emb: jnp.ndarray, cfg: HashGridConfig, rows: jnp.ndarray):
+    """Quad-table row gather whose transpose is the corner-affine FOLD scatter.
+
+    ``rows``: (2, L, B) absolute quad-table rows (level offsets included),
+    with ``rows[1] == rows[0] + s2`` cyclically per level. Forward builds the
+    corner-duplicated table and gathers — identical math to the
+    ``build_quad_table`` + ``_table_take`` pair. The payoff is the transpose:
+    because the additive scheme makes every corner offset AFFINE in the base
+    cell index, the backward scatters ONE (8C)-channel row per (level, point)
+    at the base index into an intermediate table U, then folds the 8 corner
+    blocks back with static per-level ``jnp.roll``s (the quad-table build,
+    transposed). That is 8x fewer scatter rows than the per-corner encoding —
+    the measured wall of grid-mode training (PERFORMANCE.md: XLA scatter-add
+    costs ~12.8 ns per SCALAR; the fold trades 25.6M scalar rows for 1.6M
+    16-channel rows + ~0.6 ms of sequential roll/add traffic).
+
+    Replaces the reference's CUDA atomicAdd backward
+    (hashencoder.cu:257-343) and its second-order sibling (:375-595):
+    ``linear_call`` keeps the op linear in ``emb`` so the eikonal
+    grad-of-grad still traces (transpose of the transpose is the gather).
+    """
+    from jax.custom_derivatives import linear_call
+
+    L, C = cfg.num_levels, cfg.level_dim
+    levels = cfg.level_params()
+    shifts = _level_shifts(cfg)
+    T = cfg.table_size
+    use_pallas = cfg.scatter_impl == "fold_pallas"
+
+    def fwd(ix, e):
+        quad = build_quad_table({"embeddings": e}, cfg)
+        return jnp.take(quad, ix.reshape(-1), axis=0)
+
+    def bwd(ix, ct):  # ct (2*L*B, 4C) -> d_emb (T, C) in emb dtype
+        B = ct.shape[0] // (2 * L)
+        row0 = ix.reshape(2, L, B)[0]
+        if use_pallas:
+            from .pallas_hash_scatter import fold_scatter_table
+
+            # ship update rows at the cotangent dtype (bf16 when the table
+            # is bf16 — halves the DMA); the kernel accumulates in f32
+            ctr = ct.reshape(2, L, B, 4 * C)
+            u_vals = jnp.concatenate([ctr[0], ctr[1]], axis=-1)
+            U = fold_scatter_table(row0, u_vals, cfg)
+        else:
+            # 128-lane packed row scatter (the measured v5e optimum, probe
+            # wave 4): XLA's row scatter costs ~120 ns/row at 16 channels
+            # but ~37 ns/row at 128 — so pack P = 128/(8C) logical table
+            # rows per physical row, pre-place each update's 8C channels at
+            # lane offset 8C*(local % P), and scatter ONE (N, 128) f32 row
+            # per (point, level) at packed row local//P.
+            ctf = ct.astype(jnp.float32).reshape(2, L, B, 4 * C)
+            u_vals = jnp.concatenate([ctf[0], ctf[1]], axis=-1)  # (L,B,8C)
+            W = 8 * C
+            P = 128 // W
+            off8 = []
+            t8 = 0
+            for _, hms, _, _ in levels:
+                off8.append(t8)
+                t8 += (hms + P - 1) // P
+            off_arr = jnp.asarray([lv[0] for lv in levels], jnp.int32)
+            off8_arr = jnp.asarray(off8, jnp.int32)
+            local = row0 - off_arr[:, None]  # (L, B) in [0, hms)
+            sub = local % P
+            r8 = local // P + off8_arr[:, None]
+            oh = jax.nn.one_hot(sub, P, dtype=jnp.float32)  # (L, B, P)
+            placed = jnp.einsum("lbp,lbw->lbpw", oh, u_vals).reshape(-1, 128)
+            U8 = jnp.zeros((t8, 128), jnp.float32).at[r8.reshape(-1)].add(
+                placed, mode="promise_in_bounds"
+            )
+            U = jnp.concatenate(
+                [
+                    jax.lax.slice_in_dim(U8, o8, o8 + (hms + P - 1) // P)
+                    .reshape(-1, W)[:hms]
+                    for (_, hms, _, _), o8 in zip(levels, off8)
+                ],
+                axis=0,
+            )
+        blocks = []
+        for (off, hms, _, _), (s1, s2) in zip(levels, shifts):
+            Ul = jax.lax.slice_in_dim(U, off, off + hms, axis=0)
+            d = jnp.zeros((hms, C), jnp.float32)
+            for q, dq in enumerate((0, 1, s1 % hms, (s1 + 1) % hms)):
+                d = d + jnp.roll(Ul[:, q * C:(q + 1) * C], dq, axis=0)
+                d = d + jnp.roll(
+                    Ul[:, (4 + q) * C:(5 + q) * C], (dq + s2) % hms, axis=0
+                )
+            blocks.append(d)
+        return jnp.concatenate(blocks, axis=0).astype(emb.dtype)
+
+    return linear_call(fwd, bwd, rows, emb)
+
+
 def _encode_core(cfg: HashGridConfig, x01: jnp.ndarray):
     """Shared per-level geometry: smoothstep weights + per-corner/cell
     integer coordinates. Returns (pos_grid (L,B,D) i32, w (L,B,D),
@@ -272,7 +372,6 @@ def _encode_quad(params: dict, cfg: HashGridConfig, x01: jnp.ndarray):
     B, D = x01.shape
     C = cfg.level_dim
     L = cfg.num_levels
-    quad = build_quad_table(params, cfg)
 
     pos_grid, w, in_bounds, off_arr, hms_arr, _ = _encode_core(cfg, x01)
     shifts = _level_shifts(cfg)
@@ -291,7 +390,11 @@ def _encode_quad(params: dict, cfg: HashGridConfig, x01: jnp.ndarray):
     row1 = ((base + s2_arr[:, None]) % hms).astype(jnp.int32) + off_arr[:, None]
     rows = jnp.stack([row0, row1], axis=0)  # (2,L,B)
 
-    vals = _table_take(quad, rows.reshape(-1), cfg.scatter_impl)
+    if cfg.scatter_impl in ("fold", "fold_pallas"):
+        vals = _quad_take_fold(params["embeddings"], cfg, rows)
+    else:
+        quad = build_quad_table(params, cfg)
+        vals = _table_take(quad, rows.reshape(-1), cfg.scatter_impl)
     vals = vals.reshape(2, L, B, 4, C)
 
     wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]  # (L,B)
@@ -323,6 +426,8 @@ def hash_encode_01(params: dict, cfg: HashGridConfig, x01: jnp.ndarray) -> jnp.n
     if cfg.layout == "quad":
         return _encode_quad(params, cfg, x01)
     assert cfg.layout == "rows", cfg.layout
+    if cfg.scatter_impl in ("fold", "fold_pallas"):
+        raise ValueError("scatter_impl='fold*' requires layout='quad'")
 
     emb = params["embeddings"]
     if cfg.table_dtype != "float32":

@@ -210,7 +210,9 @@ def main():
     print(json.dumps(results))
 
 
-if __name__ == "__main__" and "--wave2" not in sys.argv and "--wave3" not in sys.argv:
+if __name__ == "__main__" and not any(
+    w in sys.argv for w in ("--wave2", "--wave3", "--wave4")
+):
     main()
 
 
@@ -422,4 +424,160 @@ def main3():
 
 if __name__ == "__main__" and "--wave3" in sys.argv:
     main3()
+    sys.exit(0)
+
+
+N_FOLD = 1_605_632  # fold-scatter rows: 100,352 diff points x 16 levels
+
+
+def main4():
+    """Fourth wave: the corner-affine FOLD scatter designs.
+
+    With the additive hash scheme every corner offset is affine in the base
+    cell index, so the backward can scatter ONE row per (point, level) —
+    8 corners x C channels packed as row channels — and fold corners back
+    with 8 static per-level rolls. This wave prices the candidate encodings
+    of that single row-scatter:
+
+      * XLA row scatter at widths 16 (f32/bf16) and 128 (pre-placed lanes)
+      * Pallas RMW loop: VMEM-resident (rows, 128) f32 accumulator,
+        per-update dynamic-sublane `out[pl.ds(row,1),:] += val` — indices
+        stream through SMEM blocks, values through VMEM blocks
+      * VMEM capacity check (32/64/96 MB scratch)
+      * 2D row-parallel sort + cumsum (the sorted-segment fallback)
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    results = {}
+
+    def report(name, ms, detail=""):
+        results[name] = round(ms, 3)
+        print(f"{name:44s} {ms:10.3f} ms  {detail}", flush=True)
+
+    key = jax.random.PRNGKey(0)
+
+    # ---- XLA wide-row scatters (full fold table: T rows of 16ch) ----------
+    for width, dt in ((16, jnp.float32), (16, jnp.bfloat16), (128, jnp.float32)):
+        n = N_FOLD
+        idx = jax.random.randint(key, (n,), 0, T, jnp.int32)
+        vals = jnp.ones((n, width), dt)
+
+        def sc(idx, vals, width=width, dt=dt):
+            z = jnp.zeros((T, width), dt)
+            return z.at[idx].add(vals, mode="promise_in_bounds").astype(
+                jnp.float32
+            ).sum()
+
+        try:
+            ms = timed(jax.jit(sc), idx, vals, iters=1)
+            report(
+                f"xla_scatter_{width}ch_{dt.__name__}", ms,
+                f"{ms*1e6/n:.1f} ns/row, {n} rows",
+            )
+        except Exception as e:
+            report(f"xla_scatter_{width}ch_{dt.__name__}", float("nan"),
+                   f"FAILED {type(e).__name__}: {str(e)[:120]}")
+
+    # ---- VMEM capacity ------------------------------------------------------
+    for mb in (32, 64, 96, 110):
+        rows = mb * 1024 * 1024 // (128 * 4)
+
+        def kern(out_ref):
+            out_ref[:] = jnp.zeros_like(out_ref)
+            out_ref[0, 0] = 1.0
+
+        try:
+            f = pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=128 * 1024 * 1024
+                ),
+            )
+            v = float(jax.jit(lambda: f()[0, 0])())
+            report(f"vmem_alloc_{mb}MB", 0.0, f"ok v={v}")
+        except Exception as e:
+            report(f"vmem_alloc_{mb}MB", float("nan"),
+                   f"FAILED {type(e).__name__}: {str(e)[:120]}")
+
+    # ---- Pallas RMW scatter loop -------------------------------------------
+    # accumulator (rows,128) f32 in VMEM; idx chunks in SMEM; val chunks VMEM
+    def probe_rmw(n_upd, acc_rows, chunk, val_dt, tag, conflict=False):
+        n_upd = (n_upd // chunk) * chunk
+        if conflict:
+            idx = jnp.zeros((n_upd,), jnp.int32)
+        else:
+            idx = jax.random.randint(key, (n_upd,), 0, acc_rows, jnp.int32)
+        vals = jnp.ones((n_upd, 128), val_dt)
+        grid = n_upd // chunk
+
+        def kern(idx_ref, val_ref, out_ref):
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                out_ref[:] = jnp.zeros_like(out_ref)
+
+            def body(j, _):
+                r = idx_ref[j]
+                out_ref[pl.ds(r, 1), :] += val_ref[pl.ds(j, 1), :].astype(
+                    jnp.float32
+                )
+                return 0
+
+            jax.lax.fori_loop(0, chunk, body, 0)
+
+        f = pl.pallas_call(
+            kern,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((chunk,), lambda i: (i,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((chunk, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((acc_rows, 128), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((acc_rows, 128), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024
+            ),
+        )
+        jf = jax.jit(lambda i_, v_: f(i_, v_).sum())
+        try:
+            ms = timed(jf, idx, vals, iters=1)
+            report(f"pl_rmw_{tag}", ms, f"{ms*1e6/n_upd:.1f} ns/update, "
+                   f"{n_upd} upd -> {acc_rows}x128")
+        except Exception as e:
+            report(f"pl_rmw_{tag}", float("nan"),
+                   f"FAILED {type(e).__name__}: {str(e)[:200]}")
+
+    probe_rmw(100_352, 4096, 1024, jnp.bfloat16, "100k_4krows_bf16")
+    probe_rmw(100_352, 65536, 1024, jnp.bfloat16, "100k_64krows_bf16")
+    probe_rmw(100_352, 65536, 1024, jnp.float32, "100k_64krows_f32")
+    probe_rmw(802_816, 65536, 2048, jnp.bfloat16, "800k_64krows_bf16")
+    probe_rmw(100_352, 65536, 1024, jnp.bfloat16, "100k_conflict", conflict=True)
+
+    # ---- 2D row-parallel sort/cumsum (16 levels as rows) -------------------
+    k2d = jax.random.randint(key, (16, 100_352), 0, 524288, jnp.int32)
+    v2d = jnp.ones((16, 100_352), jnp.float32)
+
+    def sort2d(k, v):
+        ks, vs = jax.lax.sort((k, v), dimension=1, num_keys=1)
+        return ks[0, -1].astype(jnp.float32) + vs[0, 0]
+
+    report("sort2d_16x100k_1val", timed(jax.jit(sort2d), k2d, v2d, iters=1))
+
+    def csum2d(v):
+        return jnp.cumsum(v, axis=1)[0, -1]
+
+    report("cumsum2d_16x100k", timed(jax.jit(csum2d), v2d, iters=1))
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__" and "--wave4" in sys.argv:
+    main4()
     sys.exit(0)

@@ -317,3 +317,96 @@ class TestQuadLayout:
             dx[0, d] = eps
             fd = (float(f(x0 + dx)) - float(f(x0 - dx))) / (2 * eps)
             np.testing.assert_allclose(g[d], fd, rtol=2e-2, atol=1e-4)
+
+
+class TestFoldScatter:
+    """The corner-affine FOLD backward (one 16-channel row per level-point
+    scattered at the base index + 8 static rolls) must reproduce the
+    per-corner scatter exactly — forward, first order, and second order
+    (eikonal) — on both toy and flagship level schedules."""
+
+    def _cfg(self, **kw):
+        import dataclasses as dc
+
+        base = HashGridConfig(
+            num_levels=4, level_dim=2, base_resolution=4,
+            log2_hashmap_size=6, desired_resolution=32, hash_scheme="add",
+            layout="quad",
+        )
+        return dc.replace(base, **kw)
+
+    def _check(self, ref_cfg, fold_cfg, n_pts=48, seed=11, g_atol=1e-6,
+               e_rtol=1e-6, e_atol=1e-5):
+        params = init_hashgrid(jax.random.PRNGKey(2), ref_cfg)
+        x = jnp.asarray(
+            np.random.default_rng(seed).uniform(0.02, 0.98, size=(n_pts, 3)),
+            jnp.float32,
+        )
+
+        def fwd(cfg):
+            return np.asarray(hash_encode_01(params, cfg, x))
+
+        def table_grad(cfg):
+            return jax.grad(
+                lambda p: jnp.sum(hash_encode_01(p, cfg, x) ** 2)
+            )(params)["embeddings"]
+
+        def eikonal_table_grad(cfg):
+            def eik(p):
+                g = jax.grad(lambda xx: jnp.sum(hash_encode_01(p, cfg, xx)))(x)
+                return jnp.sum(g**2)
+            return jax.grad(eik)(params)["embeddings"]
+
+        np.testing.assert_allclose(fwd(fold_cfg), fwd(ref_cfg), rtol=0, atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(table_grad(fold_cfg)), np.asarray(table_grad(ref_cfg)),
+            rtol=1e-6, atol=g_atol,
+        )
+        np.testing.assert_allclose(
+            np.asarray(eikonal_table_grad(fold_cfg)),
+            np.asarray(eikonal_table_grad(ref_cfg)),
+            rtol=e_rtol, atol=e_atol,
+        )
+
+    def test_fold_exact_toy(self):
+        self._check(self._cfg(scatter_impl="flat"), self._cfg(scatter_impl="fold"))
+
+    def test_fold_exact_flagship_levels(self):
+        kw = dict(
+            num_levels=16, base_resolution=16, log2_hashmap_size=19,
+            desired_resolution=2048,
+        )
+        self._check(
+            self._cfg(scatter_impl="flat", **kw),
+            self._cfg(scatter_impl="fold", **kw),
+            n_pts=24, seed=13,
+        )
+
+    def test_fold_bf16_table(self):
+        # the fold bwd accumulates and folds in f32 end-to-end; the flat
+        # path rounds its per-corner sums through the bf16 quad table and
+        # sums the 4 corner blocks in bf16 — tolerances cover that
+        # (flat-side) bf16 rounding class; fold is the more precise one
+        self._check(
+            self._cfg(scatter_impl="flat", table_dtype="bfloat16"),
+            self._cfg(scatter_impl="fold", table_dtype="bfloat16"),
+            g_atol=3e-6, e_rtol=3e-2, e_atol=1e-3,
+        )
+
+    def test_fold_requires_quad(self):
+        import pytest
+
+        cfg = self._cfg(scatter_impl="fold", layout="rows")
+        params = init_hashgrid(jax.random.PRNGKey(2), cfg)
+        x = jnp.ones((4, 3), jnp.float32) * 0.5
+        with pytest.raises(ValueError):
+            hash_encode_01(params, cfg, x)
+
+    def test_fold_pallas_interpret(self):
+        # the Pallas VMEM-RMW scatter (interpret mode on CPU) must match
+        # the XLA fold scatter exactly (same f32 accumulation)
+        self._check(
+            self._cfg(scatter_impl="fold"),
+            self._cfg(scatter_impl="fold_pallas"),
+            n_pts=40,
+        )
