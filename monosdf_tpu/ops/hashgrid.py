@@ -76,10 +76,11 @@ class HashGridConfig:
     # Table layout for the gather. 'rows': gather one (C,)-row per corner
     # (8 x L rows/point). 'quad': gather from a derived corner-duplicated
     # table whose row j packs the 4 (x0/x1, y0/y1) corner entries of cell j
-    # — 2 rows of 4C channels per level-point. Measured on a v5e the row
-    # gather costs ~6 ns/row nearly independent of row width up to 16 B, so
-    # quad (16 B rows, 4x fewer of them) cuts the sweep gather ~3x.
-    # Requires hash_scheme='add'.
+    # — 2 rows of 4C channels per level-point. 'oct': row j packs ALL 8
+    # corner entries — ONE row of 8C channels per level-point. Measured on
+    # a v5e the row gather is latency-bound per ROW, nearly independent of
+    # row width (probe waves 2/5), so quad cuts the sweep gather ~3x vs
+    # rows and oct halves it again. 'quad'/'oct' require hash_scheme='add'.
     layout: str = "rows"
 
     @property
@@ -249,34 +250,92 @@ def build_quad_table(params: dict, cfg: HashGridConfig) -> jnp.ndarray:
     return jnp.concatenate(blocks, axis=0)  # (T, 4C)
 
 
+def _oct_deltas(s1: int, s2: int, hms: int):
+    """Corner offsets, affine in the base cell index, in the channel-block
+    order used by every fold/oct structure: z0 xy-corners then z1."""
+    return tuple(
+        d % hms
+        for d in (0, 1, s1, s1 + 1, s2, s2 + 1, s1 + s2, s1 + s2 + 1)
+    )
+
+
+def _fold_transpose(cfg: HashGridConfig, row0, u_vals, out_dtype):
+    """The corner-affine FOLD scatter: transpose of an 8-corner gather.
+
+    row0 (L, B): absolute base table rows; u_vals (L, B, 8C): per-corner
+    cotangent blocks in _oct_deltas order. Scatters ONE row per (point,
+    level) at the base index into an intermediate table U, then folds the 8
+    corner blocks back with static per-level ``jnp.roll``s — 8x fewer
+    scatter rows than the per-corner encoding, the measured wall of
+    grid-mode training (the reference pays ~1 ms for the same updates with
+    CUDA atomicAdd, hashencoder.cu:257-343).
+
+    Scatter encoding (probe wave 4 on the v5e): XLA's row scatter costs
+    ~120 ns/row at 16 channels but ~37 ns/row at 128 — so pack
+    P = 128/(8C) logical table rows per physical row, pre-place each
+    update's 8C channels at lane offset 8C*(local % P), and scatter one
+    (N, 128) f32 row at packed row local//P. (The Pallas VMEM-RMW variant
+    measured 330 ns/update — kept as scatter_impl='fold_pallas' for the
+    record.) Accumulation is f32 end-to-end even for bf16 tables.
+    """
+    L, C = cfg.num_levels, cfg.level_dim
+    levels = cfg.level_params()
+    shifts = _level_shifts(cfg)
+    if cfg.scatter_impl == "fold_pallas":
+        from .pallas_hash_scatter import fold_scatter_table
+
+        # ship update rows at the cotangent dtype (bf16 when the table is
+        # bf16 — halves the DMA); the kernel accumulates in f32
+        U = fold_scatter_table(row0, u_vals, cfg)
+    else:
+        u_vals = u_vals.astype(jnp.float32)
+        W = 8 * C
+        P = 128 // W
+        off8 = []
+        t8 = 0
+        for _, hms, _, _ in levels:
+            off8.append(t8)
+            t8 += (hms + P - 1) // P
+        off_arr = jnp.asarray([lv[0] for lv in levels], jnp.int32)
+        off8_arr = jnp.asarray(off8, jnp.int32)
+        local = row0 - off_arr[:, None]  # (L, B) in [0, hms)
+        sub = local % P
+        r8 = local // P + off8_arr[:, None]
+        oh = jax.nn.one_hot(sub, P, dtype=jnp.float32)  # (L, B, P)
+        placed = jnp.einsum("lbp,lbw->lbpw", oh, u_vals).reshape(-1, 128)
+        U8 = jnp.zeros((t8, 128), jnp.float32).at[r8.reshape(-1)].add(
+            placed, mode="promise_in_bounds"
+        )
+        U = jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(U8, o8, o8 + (hms + P - 1) // P)
+                .reshape(-1, W)[:hms]
+                for (_, hms, _, _), o8 in zip(levels, off8)
+            ],
+            axis=0,
+        )
+    blocks = []
+    for (off, hms, _, _), (s1, s2) in zip(levels, shifts):
+        Ul = jax.lax.slice_in_dim(U, off, off + hms, axis=0)
+        d = jnp.zeros((hms, C), jnp.float32)
+        for q, dq in enumerate(_oct_deltas(s1, s2, hms)):
+            d = d + jnp.roll(Ul[:, q * C:(q + 1) * C], dq, axis=0)
+        blocks.append(d)
+    return jnp.concatenate(blocks, axis=0).astype(out_dtype)
+
+
 def _quad_take_fold(emb: jnp.ndarray, cfg: HashGridConfig, rows: jnp.ndarray):
-    """Quad-table row gather whose transpose is the corner-affine FOLD scatter.
-
-    ``rows``: (2, L, B) absolute quad-table rows (level offsets included),
-    with ``rows[1] == rows[0] + s2`` cyclically per level. Forward builds the
-    corner-duplicated table and gathers — identical math to the
-    ``build_quad_table`` + ``_table_take`` pair. The payoff is the transpose:
-    because the additive scheme makes every corner offset AFFINE in the base
-    cell index, the backward scatters ONE (8C)-channel row per (level, point)
-    at the base index into an intermediate table U, then folds the 8 corner
-    blocks back with static per-level ``jnp.roll``s (the quad-table build,
-    transposed). That is 8x fewer scatter rows than the per-corner encoding —
-    the measured wall of grid-mode training (PERFORMANCE.md: XLA scatter-add
-    costs ~12.8 ns per SCALAR; the fold trades 25.6M scalar rows for 1.6M
-    16-channel rows + ~0.6 ms of sequential roll/add traffic).
-
-    Replaces the reference's CUDA atomicAdd backward
-    (hashencoder.cu:257-343) and its second-order sibling (:375-595):
-    ``linear_call`` keeps the op linear in ``emb`` so the eikonal
-    grad-of-grad still traces (transpose of the transpose is the gather).
+    """Quad-table row gather whose transpose is the corner-affine FOLD
+    scatter (_fold_transpose). ``rows``: (2, L, B) absolute quad-table rows
+    (level offsets included), with ``rows[1] == rows[0] + s2`` cyclically
+    per level. ``linear_call`` keeps the op linear in ``emb`` so the eikonal
+    grad-of-grad still traces (transpose of the transpose is the gather) —
+    replacing the reference's hand-written second CUDA backward
+    (hashencoder.cu:375-595).
     """
     from jax.custom_derivatives import linear_call
 
     L, C = cfg.num_levels, cfg.level_dim
-    levels = cfg.level_params()
-    shifts = _level_shifts(cfg)
-    T = cfg.table_size
-    use_pallas = cfg.scatter_impl == "fold_pallas"
 
     def fwd(ix, e):
         quad = build_quad_table({"embeddings": e}, cfg)
@@ -285,59 +344,57 @@ def _quad_take_fold(emb: jnp.ndarray, cfg: HashGridConfig, rows: jnp.ndarray):
     def bwd(ix, ct):  # ct (2*L*B, 4C) -> d_emb (T, C) in emb dtype
         B = ct.shape[0] // (2 * L)
         row0 = ix.reshape(2, L, B)[0]
-        if use_pallas:
-            from .pallas_hash_scatter import fold_scatter_table
+        ctr = ct.reshape(2, L, B, 4 * C)
+        u_vals = jnp.concatenate([ctr[0], ctr[1]], axis=-1)  # (L, B, 8C)
+        return _fold_transpose(cfg, row0, u_vals, emb.dtype)
 
-            # ship update rows at the cotangent dtype (bf16 when the table
-            # is bf16 — halves the DMA); the kernel accumulates in f32
-            ctr = ct.reshape(2, L, B, 4 * C)
-            u_vals = jnp.concatenate([ctr[0], ctr[1]], axis=-1)
-            U = fold_scatter_table(row0, u_vals, cfg)
-        else:
-            # 128-lane packed row scatter (the measured v5e optimum, probe
-            # wave 4): XLA's row scatter costs ~120 ns/row at 16 channels
-            # but ~37 ns/row at 128 — so pack P = 128/(8C) logical table
-            # rows per physical row, pre-place each update's 8C channels at
-            # lane offset 8C*(local % P), and scatter ONE (N, 128) f32 row
-            # per (point, level) at packed row local//P.
-            ctf = ct.astype(jnp.float32).reshape(2, L, B, 4 * C)
-            u_vals = jnp.concatenate([ctf[0], ctf[1]], axis=-1)  # (L,B,8C)
-            W = 8 * C
-            P = 128 // W
-            off8 = []
-            t8 = 0
-            for _, hms, _, _ in levels:
-                off8.append(t8)
-                t8 += (hms + P - 1) // P
-            off_arr = jnp.asarray([lv[0] for lv in levels], jnp.int32)
-            off8_arr = jnp.asarray(off8, jnp.int32)
-            local = row0 - off_arr[:, None]  # (L, B) in [0, hms)
-            sub = local % P
-            r8 = local // P + off8_arr[:, None]
-            oh = jax.nn.one_hot(sub, P, dtype=jnp.float32)  # (L, B, P)
-            placed = jnp.einsum("lbp,lbw->lbpw", oh, u_vals).reshape(-1, 128)
-            U8 = jnp.zeros((t8, 128), jnp.float32).at[r8.reshape(-1)].add(
-                placed, mode="promise_in_bounds"
-            )
-            U = jnp.concatenate(
+    return linear_call(fwd, bwd, rows, emb)
+
+
+def build_oct_table(params: dict, cfg: HashGridConfig) -> jnp.ndarray:
+    """Derive the fully corner-duplicated gather table: (table_size, 8*C),
+    where row j of level block l packs ALL 8 corner entries of cell j in
+    _oct_deltas order — ONE 8C-channel gather row per (point, level),
+    vs the quad layout's two. Same construction class as build_quad_table
+    (8 static rolls + concat per level, sequential HBM) and differentiable
+    the same way."""
+    assert cfg.hash_scheme == "add", "oct layout requires the additive scheme"
+    emb = params["embeddings"]
+    if cfg.table_dtype != "float32":
+        emb = emb.astype(jnp.dtype(cfg.table_dtype))
+    shifts = _level_shifts(cfg)
+    blocks = []
+    for (off, hms, _, _), (s1, s2) in zip(cfg.level_params(), shifts):
+        blk = jax.lax.slice_in_dim(emb, off, off + hms, axis=0)
+        blocks.append(
+            jnp.concatenate(
                 [
-                    jax.lax.slice_in_dim(U8, o8, o8 + (hms + P - 1) // P)
-                    .reshape(-1, W)[:hms]
-                    for (_, hms, _, _), o8 in zip(levels, off8)
+                    jnp.roll(blk, -dq, axis=0)
+                    for dq in _oct_deltas(s1, s2, hms)
                 ],
-                axis=0,
+                axis=-1,
             )
-        blocks = []
-        for (off, hms, _, _), (s1, s2) in zip(levels, shifts):
-            Ul = jax.lax.slice_in_dim(U, off, off + hms, axis=0)
-            d = jnp.zeros((hms, C), jnp.float32)
-            for q, dq in enumerate((0, 1, s1 % hms, (s1 + 1) % hms)):
-                d = d + jnp.roll(Ul[:, q * C:(q + 1) * C], dq, axis=0)
-                d = d + jnp.roll(
-                    Ul[:, (4 + q) * C:(5 + q) * C], (dq + s2) % hms, axis=0
-                )
-            blocks.append(d)
-        return jnp.concatenate(blocks, axis=0).astype(emb.dtype)
+        )
+    return jnp.concatenate(blocks, axis=0)  # (T, 8C)
+
+
+def _oct_take_fold(emb: jnp.ndarray, cfg: HashGridConfig, rows: jnp.ndarray):
+    """Oct-table row gather (one row per level-point) whose transpose is the
+    corner-affine FOLD scatter — the cotangent rows ARE the fold's update
+    rows, no restructuring. ``rows``: (L, B) absolute base rows."""
+    from jax.custom_derivatives import linear_call
+
+    L, C = cfg.num_levels, cfg.level_dim
+
+    def fwd(ix, e):
+        oct_t = build_oct_table({"embeddings": e}, cfg)
+        return jnp.take(oct_t, ix.reshape(-1), axis=0)
+
+    def bwd(ix, ct):  # ct (L*B, 8C)
+        B = ct.shape[0] // L
+        return _fold_transpose(
+            cfg, ix.reshape(L, B), ct.reshape(L, B, 8 * C), emb.dtype
+        )
 
     return linear_call(fwd, bwd, rows, emb)
 
@@ -410,6 +467,49 @@ def _encode_quad(params: dict, cfg: HashGridConfig, x01: jnp.ndarray):
     return jnp.moveaxis(out, 0, 1).reshape(B, L * C)
 
 
+def _encode_oct(params: dict, cfg: HashGridConfig, x01: jnp.ndarray):
+    """'oct' layout: ONE gather of a (8C)-channel row per level-point from
+    the fully corner-duplicated table — half the quad layout's gather rows
+    (the v5e row gather is latency-bound per ROW, nearly width-independent;
+    probe waves 2/5). With scatter_impl='fold*' the take's transpose is the
+    corner-affine fold scatter directly."""
+    B, D = x01.shape
+    C = cfg.level_dim
+    L = cfg.num_levels
+
+    pos_grid, w, in_bounds, off_arr, hms_arr, _ = _encode_core(cfg, x01)
+    shifts = _level_shifts(cfg)
+    s1_arr = jnp.asarray([s[0] for s in shifts], jnp.uint32)
+    s2_arr = jnp.asarray([s[1] for s in shifts], jnp.uint32)
+
+    pg = pos_grid.astype(jnp.uint32)  # (L,B,D)
+    base = (
+        pg[..., 0]
+        + pg[..., 1] * s1_arr[:, None]
+        + pg[..., 2] * s2_arr[:, None]
+    )  # (L,B)
+    rows = (base % hms_arr[:, None]).astype(jnp.int32) + off_arr[:, None]
+
+    if cfg.scatter_impl in ("fold", "fold_pallas"):
+        vals = _oct_take_fold(params["embeddings"], cfg, rows)
+    else:
+        oct_t = build_oct_table(params, cfg)
+        vals = _table_take(oct_t, rows.reshape(-1), cfg.scatter_impl)
+    vals = vals.reshape(L, B, 8, C)
+
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]  # (L,B)
+    quad_w = jnp.stack(
+        [(1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy], axis=-1
+    )  # (L,B,4)
+    oct_w = jnp.concatenate(
+        [quad_w * (1.0 - wz)[..., None], quad_w * wz[..., None]], axis=-1
+    )  # (L,B,8) in _oct_deltas corner order
+    level_out = jnp.einsum("lbq,lbqc->lbc", oct_w, vals.astype(w.dtype))
+
+    out = level_out * in_bounds
+    return jnp.moveaxis(out, 0, 1).reshape(B, L * C)
+
+
 def hash_encode_01(params: dict, cfg: HashGridConfig, x01: jnp.ndarray) -> jnp.ndarray:
     """Encode points already mapped to [0,1]^D. x01: (B, D) -> (B, L*C).
 
@@ -425,9 +525,11 @@ def hash_encode_01(params: dict, cfg: HashGridConfig, x01: jnp.ndarray) -> jnp.n
     """
     if cfg.layout == "quad":
         return _encode_quad(params, cfg, x01)
+    if cfg.layout == "oct":
+        return _encode_oct(params, cfg, x01)
     assert cfg.layout == "rows", cfg.layout
     if cfg.scatter_impl in ("fold", "fold_pallas"):
-        raise ValueError("scatter_impl='fold*' requires layout='quad'")
+        raise ValueError("scatter_impl='fold*' requires layout='quad'/'oct'")
 
     emb = params["embeddings"]
     if cfg.table_dtype != "float32":

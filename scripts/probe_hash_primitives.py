@@ -211,7 +211,7 @@ def main():
 
 
 if __name__ == "__main__" and not any(
-    w in sys.argv for w in ("--wave2", "--wave3", "--wave4")
+    w in sys.argv for w in ("--wave2", "--wave3", "--wave4", "--wave5")
 ):
     main()
 
@@ -580,4 +580,59 @@ def main4():
 
 if __name__ == "__main__" and "--wave4" in sys.argv:
     main4()
+    sys.exit(0)
+
+
+def main5():
+    """Fifth wave: oct-layout gather rates + production-shape packed scatter."""
+    import jax
+    import jax.numpy as jnp
+
+    results = {}
+
+    def report(name, ms, detail=""):
+        results[name] = round(ms, 3)
+        print(f"{name:44s} {ms:10.3f} ms  {detail}", flush=True)
+
+    key = jax.random.PRNGKey(0)
+
+    def take_loop(emb, idx, iters=3):
+        def body(k, acc):
+            return acc + jnp.take(emb, idx + k, axis=0, mode="clip").astype(
+                jnp.float32).sum()
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    jt = jax.jit(take_loop)
+
+    # oct layout: 1 gather of (16ch bf16 = 32B) per level-point
+    emb16 = jnp.zeros((T, 16), jnp.bfloat16) + 0.5
+    for n, tag in ((2_097_152, "sweep131k"), (1_605_632, "diff100k")):
+        idx = jax.random.randint(key, (n,), 0, T, jnp.int32)
+        ms = timed(jt, emb16, idx, iters=3)
+        report(f"take_oct_bf16_16ch_{tag}", ms, f"{ms*1e6/n:.2f} ns/row, {n} rows")
+
+    # quad layout reference: 2 gathers of (8ch bf16 = 16B) per level-point
+    emb8 = jnp.zeros((T, 8), jnp.bfloat16) + 0.5
+    idx = jax.random.randint(key, (4_194_304,), 0, T, jnp.int32)
+    ms = timed(jt, emb8, idx, iters=3)
+    report("take_quad_bf16_8ch_4.2M", ms, f"{ms*1e6/4_194_304:.2f} ns/row")
+
+    # production-shape packed fold scatter: (1.6M, 128) f32 -> (763k, 128)
+    t8 = 762_264
+    n = 1_605_632
+    idx = jax.random.randint(key, (n,), 0, t8, jnp.int32)
+    vals = jnp.ones((n, 128), jnp.float32)
+
+    def sc(idx, vals):
+        z = jnp.zeros((t8, 128), jnp.float32)
+        return z.at[idx].add(vals, mode="promise_in_bounds").sum()
+
+    ms = timed(jax.jit(sc), idx, vals, iters=1)
+    report("xla_scatter_packed_prod", ms, f"{ms*1e6/n:.1f} ns/row")
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__" and "--wave5" in sys.argv:
+    main5()
     sys.exit(0)

@@ -410,3 +410,82 @@ class TestFoldScatter:
             self._cfg(scatter_impl="fold_pallas"),
             n_pts=40,
         )
+
+
+class TestOctLayout:
+    """The fully corner-duplicated 'oct' gather layout (ONE wide row per
+    level-point) must be exactly the 'rows' gather under the additive
+    scheme, with the fold backward exactly the per-corner scatter."""
+
+    def _cfg(self, **kw):
+        import dataclasses as dc
+
+        base = HashGridConfig(
+            num_levels=4, level_dim=2, base_resolution=4,
+            log2_hashmap_size=6, desired_resolution=32, hash_scheme="add",
+            layout="oct",
+        )
+        return dc.replace(base, **kw)
+
+    def _grads(self, cfg, params, x):
+        def table_grad():
+            return jax.grad(
+                lambda p: jnp.sum(hash_encode_01(p, cfg, x) ** 2)
+            )(params)["embeddings"]
+
+        def eik_grad():
+            def eik(p):
+                g = jax.grad(lambda xx: jnp.sum(hash_encode_01(p, cfg, xx)))(x)
+                return jnp.sum(g**2)
+            return jax.grad(eik)(params)["embeddings"]
+
+        return np.asarray(table_grad()), np.asarray(eik_grad())
+
+    def test_forward_and_grads_exact_vs_rows(self):
+        rows_cfg = self._cfg(layout="rows")
+        for impl in ("flat", "fold", "fold_pallas"):
+            oct_cfg = self._cfg(scatter_impl=impl)
+            params = init_hashgrid(jax.random.PRNGKey(2), rows_cfg)
+            x = jnp.asarray(
+                np.random.default_rng(7).uniform(0.02, 0.98, size=(40, 3)),
+                jnp.float32,
+            )
+            a = np.asarray(hash_encode_01(params, rows_cfg, x))
+            b = np.asarray(hash_encode_01(params, oct_cfg, x))
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-9)
+            g1r, g2r = self._grads(rows_cfg, params, x)
+            g1o, g2o = self._grads(oct_cfg, params, x)
+            np.testing.assert_allclose(g1o, g1r, rtol=1e-6, atol=1e-6)
+            np.testing.assert_allclose(g2o, g2r, rtol=1e-6, atol=1e-5)
+
+    def test_flagship_levels_forward_exact(self):
+        kw = dict(
+            num_levels=16, base_resolution=16, log2_hashmap_size=19,
+            desired_resolution=2048,
+        )
+        rows_cfg = self._cfg(layout="rows", **kw)
+        oct_cfg = self._cfg(scatter_impl="fold", **kw)
+        params = init_hashgrid(jax.random.PRNGKey(3), rows_cfg)
+        x = jnp.asarray(
+            np.random.default_rng(8).uniform(0.0, 1.0, size=(16, 3)),
+            jnp.float32,
+        )
+        a = np.asarray(hash_encode_01(params, rows_cfg, x))
+        b = np.asarray(hash_encode_01(params, oct_cfg, x))
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-9)
+
+    def test_spatial_gradient_finite_diff(self):
+        cfg = self._cfg(scatter_impl="fold")
+        params = init_hashgrid(jax.random.PRNGKey(2), cfg)
+        x0 = jnp.asarray([[0.33, 0.57, 0.41]], jnp.float32)
+
+        def f(xx):
+            return jnp.sum(hash_encode_01(params, cfg, xx))
+
+        g = np.asarray(jax.grad(lambda xx: f(xx))(x0))[0]
+        eps = 1e-3
+        for d in range(3):
+            dx = np.zeros((1, 3), np.float32)
+            dx[0, d] = eps
+            fd = (float(f(x0 + dx)) - float(f(x0 - dx))) / (2 * eps)
+            np.testing.assert_allclose(g[d], fd, rtol=2e-2, atol=1e-4)
