@@ -387,12 +387,21 @@ def sampler_fused_iter(
     return outs[0], outs[1], outs[2], outs[3]
 
 
-def sampler_fused_iter_nograd(*args, **kwargs):
-    """AD-opaque wrapper (the sampler stop-gradients every output anyway)."""
+@functools.lru_cache(maxsize=None)
+def _nograd_wrapper(merging: bool, kw_items: tuple):
+    """Module-level custom_jvp wrappers, cached per (merging, kwargs) so
+    repeated calls reuse the same jaxpr instead of retracing a fresh
+    closure every iteration (the sampler stop-gradients every output
+    anyway — tangents are zero by construction)."""
+    kwargs = dict(kw_items)
 
     @jax.custom_jvp
     def f(*operands):
-        z, sdf, z_new, sdf_new, beta_prev, beta0, u = operands
+        if merging:
+            z, sdf, z_new, sdf_new, beta_prev, beta0, u = operands
+        else:
+            z, sdf, beta_prev, beta0, u = operands
+            z_new = sdf_new = None
         return sampler_fused_iter(
             z, sdf, z_new, sdf_new, beta_prev, beta0, u, **kwargs
         )
@@ -402,18 +411,13 @@ def sampler_fused_iter_nograd(*args, **kwargs):
         out = f(*primals)
         return out, jax.tree_util.tree_map(jnp.zeros_like, out)
 
+    return f
+
+
+def sampler_fused_iter_nograd(*args, **kwargs):
+    """AD-opaque entry: dispatch to the cached custom_jvp wrapper."""
     z, sdf, z_new, sdf_new, beta_prev, beta0, u = args
+    kw_items = tuple(sorted(kwargs.items(), key=lambda kv: kv[0]))
     if z_new is None:
-        @jax.custom_jvp
-        def f0(z_, sdf_, beta_prev_, beta0_, u_):
-            return sampler_fused_iter(
-                z_, sdf_, None, None, beta_prev_, beta0_, u_, **kwargs
-            )
-
-        @f0.defjvp
-        def f0_jvp(primals, tangents):
-            out = f0(*primals)
-            return out, jax.tree_util.tree_map(jnp.zeros_like, out)
-
-        return f0(z, sdf, beta_prev, beta0, u)
-    return f(*args)
+        return _nograd_wrapper(False, kw_items)(z, sdf, beta_prev, beta0, u)
+    return _nograd_wrapper(True, kw_items)(*args)

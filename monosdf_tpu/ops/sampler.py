@@ -297,6 +297,48 @@ def _error_bound(beta, sdf, z_vals, dists, d_star):
     return jnp.max(bound_opacity, axis=-1)
 
 
+def _final_tail(
+    z_vals, samples, rays_o, rays_d, cfg: SamplerConfig, k_extra, k_eik,
+    training: bool,
+):
+    """Shared post-loop tail: near/far + N_samples_extra draw from the
+    merged buffer, final sort, and the per-ray eikonal z pick (reference
+    ray_sampler.py:236-255). Used by both the fused and per-iteration
+    machinery paths so the two cannot drift."""
+    R = rays_o.shape[0]
+    dtype = rays_o.dtype
+    near = jnp.full((R, 1), cfg.near, dtype=dtype)
+    if cfg.inverse_sphere_bg:
+        # foreground ends where the ray EXITS the scene sphere
+        # (reference ray_sampler.py:238-239).
+        far = get_sphere_intersections(
+            rays_o, rays_d, r=cfg.scene_bounding_sphere
+        )[:, 1:].astype(dtype)
+    else:
+        far = jnp.full((R, 1), cfg.far_value, dtype=dtype)
+    if cfg.N_samples_extra > 0:
+        n_buf = z_vals.shape[1]
+        if training:
+            idx = jax.random.permutation(k_extra, n_buf)[: cfg.N_samples_extra]
+        else:
+            idx = jnp.linspace(0, n_buf - 1, cfg.N_samples_extra).astype(
+                jnp.int32
+            )
+        z_vals_extra = jnp.concatenate([near, far, z_vals[:, idx]], axis=-1)
+    else:
+        z_vals_extra = jnp.concatenate([near, far], axis=-1)
+
+    z_final = jnp.sort(
+        jnp.concatenate([samples, z_vals_extra], axis=-1), axis=-1
+    )
+
+    # One random existing sample per ray for the eikonal near-surface points
+    # (reference ray_sampler.py:253-255).
+    eik_idx = jax.random.randint(k_eik, (R, 1), 0, z_final.shape[-1])
+    z_eik, _ = _onehot_gather2(z_final, z_final, eik_idx)
+    return jax.lax.stop_gradient(z_final), jax.lax.stop_gradient(z_eik)
+
+
 def error_bound_z_vals(
     sdf_fn: Callable[[jnp.ndarray], jnp.ndarray],
     rays_o: jnp.ndarray,
@@ -336,7 +378,14 @@ def error_bound_z_vals(
     samples = z_vals  # final-draw carrier (matches reference variable role)
 
     # --- Algorithm 1, statically unrolled -----------------------------------
-    if cfg.machinery == "pallas_fused" and cfg.N_samples_eval == 128:
+    # The fully-fused kernel needs every merged width to be a 128 multiple
+    # (N_samples_eval == 128), ray blocks of 128 (R % 128 == 0), and the
+    # final draw to fit one u tile (N_samples <= 128); other configs fall
+    # through to the per-iteration machinery kernel below.
+    fused_ok = (
+        cfg.N_samples_eval == 128 and R % 128 == 0 and cfg.N_samples <= 128
+    )
+    if cfg.machinery == "pallas_fused" and fused_ok:
         # Fully-fused per-iteration kernel (ops/pallas_sampler_fused.py):
         # merge + bisection + bounds + inverse-CDF draw in ONE Pallas call,
         # sample-major. Upsampling draws use DESCENDING linspace u — the
@@ -396,36 +445,12 @@ def error_bound_z_vals(
             else:
                 samples = draw_T.T
         z_vals = zT.T  # final merged state, row-major for the extra draw
-
-        near = jnp.full((R, 1), cfg.near, dtype=dtype)
-        if cfg.inverse_sphere_bg:
-            far = get_sphere_intersections(
-                rays_o, rays_d, r=cfg.scene_bounding_sphere
-            )[:, 1:].astype(dtype)
-        else:
-            far = jnp.full((R, 1), cfg.far_value, dtype=dtype)
-        if cfg.N_samples_extra > 0:
-            n_buf = z_vals.shape[1]
-            if training:
-                idx = jax.random.permutation(k_extra, n_buf)[
-                    : cfg.N_samples_extra
-                ]
-            else:
-                idx = jnp.linspace(0, n_buf - 1, cfg.N_samples_extra).astype(
-                    jnp.int32
-                )
-            z_vals_extra = jnp.concatenate([near, far, z_vals[:, idx]], axis=-1)
-        else:
-            z_vals_extra = jnp.concatenate([near, far], axis=-1)
-        z_final = jnp.sort(
-            jnp.concatenate([samples, z_vals_extra], axis=-1), axis=-1
+        return _final_tail(
+            z_vals, samples, rays_o, rays_d, cfg, k_extra, k_eik, training
         )
-        eik_idx = jax.random.randint(k_eik, (R, 1), 0, z_final.shape[-1])
-        z_eik, _ = _onehot_gather2(z_final, z_final, eik_idx)
-        return jax.lax.stop_gradient(z_final), jax.lax.stop_gradient(z_eik)
 
     use_pallas_machinery = cfg.machinery == "pallas" or (
-        cfg.machinery == "pallas_fused" and cfg.N_samples_eval != 128
+        cfg.machinery == "pallas_fused" and not fused_ok
     )
     for it in range(cfg.max_total_iters):
         last = it == cfg.max_total_iters - 1
@@ -547,33 +572,9 @@ def error_bound_z_vals(
             samples = _sample_pdf(z_vals, pdf, u)
 
     # --- extra samples + near/far (reference ray_sampler.py:236-251) --------
-    near = jnp.full((R, 1), cfg.near, dtype=dtype)
-    if cfg.inverse_sphere_bg:
-        # foreground ends where the ray EXITS the scene sphere
-        # (reference ray_sampler.py:238-239).
-        far = get_sphere_intersections(
-            rays_o, rays_d, r=cfg.scene_bounding_sphere
-        )[:, 1:].astype(dtype)
-    else:
-        far = jnp.full((R, 1), cfg.far_value, dtype=dtype)
-    if cfg.N_samples_extra > 0:
-        n_buf = z_vals.shape[1]
-        if training:
-            idx = jax.random.permutation(k_extra, n_buf)[: cfg.N_samples_extra]
-        else:
-            idx = jnp.linspace(0, n_buf - 1, cfg.N_samples_extra).astype(jnp.int32)
-        z_vals_extra = jnp.concatenate([near, far, z_vals[:, idx]], axis=-1)
-    else:
-        z_vals_extra = jnp.concatenate([near, far], axis=-1)
-
-    z_final = jnp.sort(jnp.concatenate([samples, z_vals_extra], axis=-1), axis=-1)
-
-    # One random existing sample per ray for the eikonal near-surface points
-    # (reference ray_sampler.py:253-255).
-    eik_idx = jax.random.randint(k_eik, (R, 1), 0, z_final.shape[-1])
-    z_eik, _ = _onehot_gather2(z_final, z_final, eik_idx)
-
-    return jax.lax.stop_gradient(z_final), jax.lax.stop_gradient(z_eik)
+    return _final_tail(
+        z_vals, samples, rays_o, rays_d, cfg, k_extra, k_eik, training
+    )
 
 
 def inverse_sphere_bg_z_vals(
