@@ -99,38 +99,164 @@ def _fill_counts_and_moments(live, count, mu_tree, nu_tree):
     return live
 
 
+def _is_partition_node(t):
+    return hasattr(t, "_fields") and "inner_states" in getattr(t, "_fields", ())
+
+
+def _lookup_path(tree, path):
+    node = tree
+    for p in path:
+        k = getattr(p, "key", getattr(p, "name", None))
+        if isinstance(node, dict) and k in node:
+            node = node[k]
+        else:
+            return None
+    return node
+
+
+def _migrate_from_partition(live, saved, params):
+    """Grid-mode multi_transform -> fused/per-leaf: stitch each param leaf's
+    Adam moments from whichever group's masked tree owns it, then hand the
+    single combined Adam state to the flat/per-leaf fillers."""
+    import jax.numpy as jnp
+
+    groups = {
+        g: _find_adam_node(ms) for g, ms in saved.inner_states.items()
+    }
+    groups = {g: n for g, n in groups.items() if n is not None}
+    if not groups:
+        return None
+
+    def stitch(which, path, leaf):
+        for node in groups.values():
+            v = _lookup_path(getattr(node, which), path)
+            if v is not None and hasattr(v, "shape"):
+                return jnp.asarray(v)
+        return None
+
+    mu_tree = jax.tree_util.tree_map_with_path(
+        lambda p, leaf: stitch("mu", p, leaf), params
+    )
+    nu_tree = jax.tree_util.tree_map_with_path(
+        lambda p, leaf: stitch("nu", p, leaf), params
+    )
+    if any(
+        v is None
+        for v in jax.tree_util.tree_leaves(mu_tree, is_leaf=lambda x: x is None)
+    ):
+        return None
+    count = max(
+        (int(np.asarray(n.count)) for n in groups.values()), default=0
+    )
+
+    class _Combined:  # duck-typed single-Adam payload for the fillers
+        pass
+
+    node = _Combined()
+    node.count = count
+    node.mu = mu_tree
+    node.nu = nu_tree
+    return node
+
+
+def _migrate_to_partition(live, node, params):
+    """Single-Adam (fused or per-leaf) -> grid-mode multi_transform: mask
+    the combined moment trees per group and rebuild each group's state."""
+    import jax.numpy as jnp
+    import optax
+
+    from .optim import _grid_label
+
+    count = jnp.asarray(np.asarray(node.count), jnp.int32)
+    mu_tree, nu_tree = node.mu, node.nu
+
+    def mask(tree, label):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, v: v if _grid_label(p) == label else optax.MaskedNode(),
+            tree,
+        )
+
+    inner = {
+        g: _fill_counts_and_moments(
+            ms, count, mask(mu_tree, g), mask(nu_tree, g)
+        )
+        for g, ms in live.inner_states.items()
+    }
+    return type(live)(inner_states=inner)
+
+
+def _as_param_trees(node, params):
+    """Normalize a single-Adam node to (count, mu_tree, nu_tree) with the
+    trees shaped like ``params`` (unraveling FlatAdamState's vectors).
+    Returns None if shapes don't line up."""
+    import jax.numpy as jnp
+    from jax.flatten_util import ravel_pytree
+
+    mu = node.mu
+    if hasattr(mu, "shape"):  # raveled flat vector (FlatAdamState)
+        if np.asarray(mu).ndim != 1:
+            return None
+        _, unravel = ravel_pytree(params)
+        try:
+            return (
+                node.count,
+                unravel(jnp.asarray(np.asarray(mu))),
+                unravel(jnp.asarray(np.asarray(node.nu))),
+            )
+        except (TypeError, ValueError):
+            return None
+    if jax.tree_util.tree_structure(mu) != jax.tree_util.tree_structure(
+        params
+    ):
+        return None
+    return (
+        node.count,
+        jax.tree_util.tree_map(jnp.asarray, mu),
+        jax.tree_util.tree_map(jnp.asarray, node.nu),
+    )
+
+
 def _migrate_opt_state(live, saved, params):
-    """Convert a saved Adam state between the fused (FlatAdamState, raveled
-    moments) and per-leaf (optax.adam) flavors. Returns None if the saved
-    payload is not a recognizable single-Adam state (e.g. grid-mode
-    multi_transform) — the caller then falls back to a fresh opt state."""
+    """Convert a saved Adam state between ANY of the three flavors: fused
+    (FlatAdamState, raveled moments), per-leaf (optax.adam), and grid-mode
+    multi_transform (PartitionState with per-group masked Adams) — the
+    reference restores optimizer state exactly on resume
+    (monosdf_train.py:236-261), so a flavor switch must not silently drop
+    moments. Returns None only if the saved payload carries no
+    recognizable Adam moments; the caller then falls back to a fresh opt
+    state (warning, or error under strict=True)."""
     import jax.numpy as jnp
     from jax.flatten_util import ravel_pytree
 
     from .optim import FlatAdamState
 
-    node = _find_adam_node(saved)
+    if _is_partition_node(saved):
+        node = _migrate_from_partition(live, saved, params)
+    else:
+        node = _find_adam_node(saved)
     if node is None:
         return None
-    count = jnp.asarray(np.asarray(node.count), jnp.int32)
+    norm = _as_param_trees(node, params)
+    if norm is None:
+        return None
+    count_raw, mu_tree, nu_tree = norm
+    count = jnp.asarray(np.asarray(count_raw), jnp.int32)
+    if _is_partition_node(live):
+        try:
+            node.count, node.mu, node.nu = count, mu_tree, nu_tree
+        except AttributeError:  # namedtuple node: rebuild a mutable carrier
+            node = type("_N", (), {})()
+            node.count, node.mu, node.nu = count, mu_tree, nu_tree
+        try:
+            return _migrate_to_partition(live, node, params)
+        except (TypeError, ValueError, KeyError):
+            return None
     if isinstance(live, FlatAdamState):
-        # per-leaf -> fused: ravel the moment pytrees (same structure/order
-        # as params, so ravel_pytree ordering matches flat_adam's)
-        mu, _ = ravel_pytree(jax.tree_util.tree_map(jnp.asarray, node.mu))
-        nu, _ = ravel_pytree(jax.tree_util.tree_map(jnp.asarray, node.nu))
+        mu, _ = ravel_pytree(mu_tree)
+        nu, _ = ravel_pytree(nu_tree)
         if mu.shape != live.mu.shape:
             return None
         return FlatAdamState(count, mu, nu)
-    # fused -> per-leaf: unravel the flat moments into the params structure
-    mu_flat = np.asarray(node.mu)
-    if mu_flat.ndim != 1:
-        return None
-    _, unravel = ravel_pytree(params)
-    try:
-        mu_tree = unravel(jnp.asarray(mu_flat))
-        nu_tree = unravel(jnp.asarray(np.asarray(node.nu)))
-    except (TypeError, ValueError):
-        return None
     return _fill_counts_and_moments(live, count, mu_tree, nu_tree)
 
 

@@ -189,21 +189,28 @@ class TestCheckpointMigration:
         assert int(np.asarray(src.count)) == int(np.asarray(dst.count)) == 3
 
     def test_unmigratable_falls_back_with_warning(self, tmp_path):
-        """Grid-mode multi_transform state cannot be migrated to flat Adam:
-        restore keeps the fresh opt state and warns instead of crashing."""
+        """A payload with no recognizable Adam moments (e.g. a different
+        optimizer family): restore keeps the fresh opt state and warns
+        instead of crashing."""
+        import pickle
+
         from monosdf_tpu.models import init_monosdf
         from monosdf_tpu.train import init_train_state, make_optimizer
         from monosdf_tpu.train.checkpoint import (
-            load_checkpoint, restore_state, save_checkpoint,
+            load_checkpoint, restore_state,
         )
 
         cfg = tiny_exp().model
         params = init_monosdf(jax.random.PRNGKey(0), cfg)
-        opt_g = make_optimizer(
-            OptimConfig(decay_steps=1000, grid_mode=True, fused=False)
-        )
-        state_g = init_train_state(params, opt_g)
-        save_checkpoint(str(tmp_path), jax.device_get(state_g), epoch=0)
+        payload = {
+            "params": jax.device_get(params),
+            "opt_state": {"momentum": np.zeros(3, np.float32)},
+            "step": 7,
+            "epoch": 0,
+            "opt_flavor": "SGDState",
+        }
+        with open(tmp_path / "latest.ckpt", "wb") as f:
+            pickle.dump(payload, f)
 
         opt_f = make_optimizer(OptimConfig(decay_steps=1000, fused=True))
         state_f = init_train_state(params, opt_f)
@@ -214,3 +221,77 @@ class TestCheckpointMigration:
         ) == jax.tree_util.tree_structure(state_f.opt_state)
         with pytest.raises(ValueError):
             restore_state(state_f, load_checkpoint(str(tmp_path)), strict=True)
+
+
+class TestGridFlavorMigration:
+    """Grid-mode multi_transform <-> fused grid Adam round trips (VERDICT r2
+    #7): the flagship's own optimizer flavors must exchange moments exactly
+    — the reference restores optimizer state exactly on resume
+    (monosdf_train.py:236-261)."""
+
+    def _params(self):
+        k = jax.random.PRNGKey(0)
+        return {
+            "encoding": {"embeddings": jax.random.normal(k, (64, 2))},
+            "net": {"w0": jax.random.normal(k, (8, 8)),
+                    "b0": jnp.zeros((8,))},
+            "density": {"beta": jnp.asarray([0.1])},
+        }
+
+    def _mk(self, fused):
+        from monosdf_tpu.train import init_train_state, make_optimizer
+
+        params = self._params()
+        opt = make_optimizer(
+            OptimConfig(decay_steps=1000, grid_mode=True, fused=fused)
+        )
+        return params, opt, init_train_state(params, opt)
+
+    def _advance(self, opt, state, params, n=3):
+        import optax
+        from monosdf_tpu.train.step import TrainState
+
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.full_like(p, 0.01), params
+        )
+        opt_state = state.opt_state
+        for _ in range(n):
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+        return params, TrainState(params, opt_state, jnp.asarray(n, jnp.int32))
+
+    @pytest.mark.parametrize(
+        "save_fused,load_fused", [(True, False), (False, True)]
+    )
+    def test_grid_cross_flavor_round_trip(self, tmp_path, save_fused, load_fused):
+        import optax
+        from monosdf_tpu.train.checkpoint import (
+            load_checkpoint, restore_state, save_checkpoint,
+        )
+
+        params0, opt_s, state_s = self._mk(save_fused)
+        params_s, state_s = self._advance(opt_s, state_s, params0)
+        save_checkpoint(str(tmp_path), jax.device_get(state_s), epoch=1)
+
+        _, opt_l, state_l_init = self._mk(load_fused)
+        restored = restore_state(
+            state_l_init, load_checkpoint(str(tmp_path)), strict=True
+        )
+        assert int(restored.step) == 3
+
+        # one more step under each flavor must produce IDENTICAL params
+        # (the x20 encoding lr is a schedule/scale in both flavors; the
+        # migrated moments must therefore match exactly)
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.full_like(p, 0.02), params_s
+        )
+        upd_s, _ = opt_s.update(grads, state_s.opt_state, params_s)
+        upd_l, _ = opt_l.update(grads, restored.opt_state, restored.params)
+        a = optax.apply_updates(params_s, upd_s)
+        b = optax.apply_updates(restored.params, upd_l)
+        for pa, pb in zip(
+            jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(pa), np.asarray(pb), rtol=1e-6, atol=1e-7
+            )
