@@ -24,6 +24,14 @@ def main():
     ap.add_argument("--res", type=int, default=48)
     ap.add_argument("--radius", type=float, default=0.5)
     ap.add_argument("--cam_dist", type=float, default=1.5)
+    ap.add_argument(
+        "--shape", default="sphere", choices=("sphere", "torus"),
+        help="sphere (analytic intersection) or genus-1 torus "
+        "(sphere-traced; exercises marching-tets topology and concave "
+        "cue supervision)",
+    )
+    ap.add_argument("--torus_R", type=float, default=0.4)
+    ap.add_argument("--torus_r", type=float, default=0.15)
     args = ap.parse_args()
 
     from monosdf_tpu.data.synthetic import _look_at
@@ -34,14 +42,29 @@ def main():
     light = np.array([0.3, 0.5, -0.8])
     light /= np.linalg.norm(light)
 
-    scene = os.path.join(args.out_root, "sphere_scene")
+    def torus_sdf(p):
+        rho = np.sqrt(p[..., 0] ** 2 + p[..., 2] ** 2)
+        return np.sqrt((rho - args.torus_R) ** 2 + p[..., 1] ** 2) - args.torus_r
+
+    def torus_normal(p):
+        rho = np.maximum(np.sqrt(p[..., 0] ** 2 + p[..., 2] ** 2), 1e-9)
+        k = (rho - args.torus_R) / rho
+        n = np.stack([k * p[..., 0], p[..., 1], k * p[..., 2]], -1)
+        return n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+
+    scene = os.path.join(args.out_root, f"{args.shape}_scene")
     for sub in ("Image", "depth", "normal", "ImMask"):
         os.makedirs(os.path.join(scene, sub), exist_ok=True)
 
     # alternate elevations so the view set constrains the full surface
     # (a single-ring setup leaves a shape-radiance ambiguity that stalls
-    # geometry even with depth cues)
+    # geometry even with depth cues); the torus needs steeper views so the
+    # cameras actually see through the hole
     elevations = (-0.35, 0.2, 0.6)
+    if args.shape == "torus":
+        elevations = (-0.5, 0.35, 0.8, 1.25)
+        if args.cam_dist == 1.5:  # default untouched by caller
+            args.cam_dist = 1.9
     cam = {}
     for i in range(args.n):
         ang = 2 * np.pi * i / args.n
@@ -60,18 +83,29 @@ def main():
         dirs_world /= np.linalg.norm(dirs_world, axis=-1, keepdims=True)
         o = np.broadcast_to(pose[:3, 3], dirs_world.shape)
 
-        b = np.einsum("hwc,hwc->hw", dirs_world, o)
-        c = np.sum(o**2, -1) - args.radius**2
-        disc = b**2 - c
-        hit = disc > 0
-        t = -b - np.sqrt(np.maximum(disc, 0.0))
-        hit &= t > 0
-        t = np.where(hit, t, 0.0)
-
-        pts = o + t[..., None] * dirs_world
-        normal_world = pts / np.maximum(
-            np.linalg.norm(pts, axis=-1, keepdims=True), 1e-9
-        )
+        if args.shape == "sphere":
+            b = np.einsum("hwc,hwc->hw", dirs_world, o)
+            c = np.sum(o**2, -1) - args.radius**2
+            disc = b**2 - c
+            hit = disc > 0
+            t = -b - np.sqrt(np.maximum(disc, 0.0))
+            hit &= t > 0
+            t = np.where(hit, t, 0.0)
+            pts = o + t[..., None] * dirs_world
+            normal_world = pts / np.maximum(
+                np.linalg.norm(pts, axis=-1, keepdims=True), 1e-9
+            )
+        else:  # torus: sphere-trace the SDF
+            t = np.zeros(dirs_world.shape[:2])
+            t_max = 2.0 * args.cam_dist
+            for _ in range(192):
+                s = torus_sdf(o + t[..., None] * dirs_world)
+                t = np.minimum(t + np.maximum(s, 0.0), t_max)
+            pts = o + t[..., None] * dirs_world
+            hit = (torus_sdf(pts) < 2e-3) & (t < t_max - 1e-3)
+            t = np.where(hit, t, 0.0)
+            pts = o + t[..., None] * dirs_world
+            normal_world = torus_normal(pts)
         lambert = np.clip(np.einsum("hwc,c->hw", normal_world, -light), 0.05, 1.0)
         rgb = np.stack([lambert * 0.9, lambert * 0.6, lambert * 0.4], -1)
         rgb = np.where(hit[..., None], rgb, 1.0)
