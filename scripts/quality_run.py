@@ -61,6 +61,10 @@ def main():
     ap.add_argument("--skip_train", action="store_true")
     ap.add_argument("--conf", default=os.path.join(REPO, "confs/synth_sphere_quality.conf"))
     ap.add_argument("--conf_add", default=None)
+    ap.add_argument("--expname", default="synth_sphere_quality",
+                    help="train.expname of --conf (names the run dir)")
+    ap.add_argument("--tag", default="",
+                    help="artifact suffix (e.g. 'grids' -> results_grids.json)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -83,7 +87,7 @@ def main():
             "--radius", str(GT_RADIUS),
         ])
 
-    run_dir = os.path.join(exps_root, "quality-synth_sphere_quality")
+    run_dir = os.path.join(exps_root, f"quality-{args.expname}")
     t_train = 0.0
     if not args.skip_train:
         from monosdf_tpu.cli.train import main as train_main
@@ -166,8 +170,12 @@ def main():
     # ---- artifacts ----
     out = os.path.join(REPO, "docs", "quality")
     os.makedirs(out, exist_ok=True)
-    shutil.copy(mesh_path, os.path.join(out, f"sphere_surface_{args.mesh_res}.ply"))
-    with open(os.path.join(out, "results.json"), "w") as f:
+    suffix = f"_{args.tag}" if args.tag else ""
+    shutil.copy(
+        mesh_path,
+        os.path.join(out, f"sphere{suffix}_surface_{args.mesh_res}.ply"),
+    )
+    with open(os.path.join(out, f"results{suffix}.json"), "w") as f:
         json.dump({"results": results, "curve": curve}, f, indent=2)
     print(f"artifacts -> {out} (QUALITY.md is written by hand from results.json)")
 
