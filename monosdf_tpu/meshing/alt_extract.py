@@ -100,6 +100,38 @@ def mesh_components(verts: np.ndarray, faces: np.ndarray):
     return out
 
 
+def mesh_topology(verts: np.ndarray, faces: np.ndarray) -> dict:
+    """Topology of the LARGEST connected component: Euler characteristic
+    ``V - E + F`` and genus ``(2 - chi) / 2`` (closed orientable surface).
+    Returns {n_components, n_verts, n_edges, n_faces, euler, genus,
+    watertight} — watertight = every edge is shared by exactly 2 faces
+    (genus is only meaningful then). Used by the quality gates to assert
+    the marching-tets path reproduces the GT topology class (e.g. the
+    synthetic torus's genus 1)."""
+    comps = mesh_components(np.asarray(verts), np.asarray(faces))
+    if not comps:
+        return {"n_components": 0, "n_verts": 0, "n_edges": 0, "n_faces": 0,
+                "euler": 0, "genus": None, "watertight": False}
+    v, f = max(comps, key=lambda c: c[1].shape[0])
+    e = np.sort(
+        np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0),
+        axis=1,
+    )
+    edges, counts = np.unique(e, axis=0, return_counts=True)
+    chi = int(v.shape[0] - edges.shape[0] + f.shape[0])
+    watertight = bool(np.all(counts == 2))
+    genus = (2 - chi) // 2 if watertight and (2 - chi) % 2 == 0 else None
+    return {
+        "n_components": len(comps),
+        "n_verts": int(v.shape[0]),
+        "n_edges": int(edges.shape[0]),
+        "n_faces": int(f.shape[0]),
+        "euler": chi,
+        "genus": genus,
+        "watertight": watertight,
+    }
+
+
 def mesh_area(verts: np.ndarray, faces: np.ndarray) -> float:
     e1 = verts[faces[:, 1]] - verts[faces[:, 0]]
     e2 = verts[faces[:, 2]] - verts[faces[:, 0]]
