@@ -63,8 +63,8 @@ def main():
             grid=HashGridConfig(
                 num_levels=16, level_dim=2, base_resolution=16,
                 log2_hashmap_size=19, desired_resolution=2048,
-                table_dtype="bfloat16", scatter_impl="flat",
-                hash_scheme="add", layout="quad",
+                table_dtype="bfloat16", scatter_impl="fold",
+                hash_scheme="add", layout="oct",
             ),
             divide_factor=1.1, sdf_bounding_sphere=0.0,
         )

@@ -78,3 +78,83 @@ class TestQualityGate:
         # masked-depth run must already have pulled the init shell (0.85+)
         # well toward the GT 0.5 sphere
         assert mean_err <= 0.30, f"mean |r - 0.5| = {mean_err:.3f} > 0.30"
+
+
+@pytest.fixture(scope="module")
+def torus_run(tmp_path_factory):
+    """Genus-1 quality gate (VERDICT r2 #6): the torus exercises
+    marching-tets topology and the cue losses on concave geometry — the
+    failure class a convex sphere cannot catch."""
+    root = tmp_path_factory.mktemp("qgate_torus")
+    data_root = root / "data"
+
+    import make_synthetic_scene  # scripts/ on sys.path via conftest
+
+    old = sys.argv
+    sys.argv = [
+        "gen", str(data_root), "--n", "8", "--res", "48", "--shape", "torus",
+    ]
+    try:
+        make_synthetic_scene.main()
+    finally:
+        sys.argv = old
+
+    conf_add = root / "torus.conf"
+    conf_add.write_text(
+        "train{ num_pixels = 256, expname = synth_torus_tiny }\n"
+        "dataset{ use_mask = True, data_dir = torus_scene }\n"
+    )
+
+    from monosdf_tpu.cli.train import main as train_main
+
+    sys.argv = [
+        "train", "--conf", "confs/synth_sphere_tiny.conf",
+        "--conf_add", str(conf_add),
+        "--data_root", str(data_root), "--exps_root", str(root / "exps"),
+        "--n_devices", "1", "--timestamp", "qgate", "--max_iters", "900",
+    ]
+    try:
+        train_main()
+    finally:
+        sys.argv = old
+
+    return root / "exps" / "qgate-synth_torus_tiny"
+
+
+def _torus_surface_samples(n=20000, R=0.4, r=0.15, seed=0):
+    rng = np.random.default_rng(seed)
+    theta = rng.uniform(0, 2 * np.pi, n)  # around the tube
+    phi = rng.uniform(0, 2 * np.pi, n)  # around the hole
+    rho = R + r * np.cos(theta)
+    return np.stack(
+        [rho * np.cos(phi), r * np.sin(theta), rho * np.sin(phi)], -1
+    ).astype(np.float32)
+
+
+class TestTorusQualityGate:
+    def test_loss_descends(self, torus_run):
+        rows = [json.loads(l) for l in open(torus_run / "metrics.jsonl")]
+        tail = rows[-5:]
+        loss = float(np.mean([r["loss"] for r in tail]))
+        assert loss <= 0.2, f"torus train loss {loss:.3f} > 0.2"
+        assert rows[0]["loss"] > 2 * loss, "loss did not descend"
+
+    def test_genus_one_and_chamfer(self, torus_run):
+        from monosdf_tpu.eval.metrics import (
+            chamfer_distance, sample_mesh_surface,
+        )
+        from monosdf_tpu.meshing import mesh_topology, read_ply
+
+        plys = sorted((torus_run / "plots").glob("*.ply"))
+        assert plys, "no mesh written"
+        v, f = read_ply(str(plys[-1]))
+        topo = mesh_topology(np.asarray(v), np.asarray(f))
+        assert topo["watertight"], topo
+        assert topo["genus"] == 1, (
+            f"largest component genus {topo['genus']} != 1 — the hole "
+            f"did not form or merged: {topo}"
+        )
+        pp, _ = sample_mesh_surface(np.asarray(v), np.asarray(f), 20000)
+        pg = _torus_surface_samples()
+        _, _, chamfer = chamfer_distance(pp, pg)
+        assert chamfer <= 0.08, f"torus Chamfer {chamfer:.3f} > 0.08"
