@@ -62,13 +62,16 @@ class SamplerConfig:
     # this (it is carried, unused, from VolSDF); kept for capability parity.
     inverse_sphere_bg: bool = False
     N_samples_inverse_sphere: int = 0
-    # 'jnp' | 'pallas': backend for the per-iteration beta-bisection /
-    # error-bound / pdf machinery. 'pallas' fuses the 11 error-bound
-    # evaluations + density/transmittance/pdf into ONE kernel per iteration
-    # (ops/pallas_sampler.py) with cumsums as triangular MXU matmuls at the
-    # machinery_dtype; outputs steer sample placement only (stop-gradient'ed,
-    # same deviation class as the bf16 sweeps). 'jnp' remains the
-    # torch-parity oracle.
+    # 'jnp' | 'pallas' | 'pallas_fused': backend for the per-iteration
+    # beta-bisection / error-bound / pdf machinery. 'pallas' fuses the 11
+    # error-bound evaluations + density/transmittance/pdf into ONE kernel
+    # per iteration (ops/pallas_sampler.py) with cumsums as triangular MXU
+    # matmuls at the machinery_dtype; outputs steer sample placement only
+    # (stop-gradient'ed, same deviation class as the bf16 sweeps). 'jnp'
+    # remains the torch-parity oracle. 'pallas_fused' additionally absorbs
+    # the sort-merge and the inverse-CDF draw into the same kernel
+    # (ops/pallas_sampler_fused.py); requires N_samples_eval == 128,
+    # R % 128 == 0, N_samples <= 128 (else falls back to 'pallas').
     machinery: str = "jnp"
     machinery_dtype: str = "bfloat16"
 

@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--rgb", default="fused")
     ap.add_argument("--machinery", default="pallas")
     ap.add_argument("--grid", action="store_true", help="hash-grid flagship config")
+    ap.add_argument("--table_dtype", default="bfloat16")
+    ap.add_argument("--scatter", default="flat")
+    ap.add_argument("--hash_scheme", default="xor")
+    ap.add_argument("--layout", default="rows")
     args = ap.parse_args()
 
     import jax
@@ -48,7 +52,8 @@ def main():
             grid=HashGridConfig(
                 num_levels=16, level_dim=2, base_resolution=16,
                 log2_hashmap_size=19, desired_resolution=2048,
-                table_dtype="bfloat16", scatter_impl="flat",
+                table_dtype=args.table_dtype, scatter_impl=args.scatter,
+                hash_scheme=args.hash_scheme, layout=args.layout,
             ),
             divide_factor=1.1, sdf_bounding_sphere=0.0,
         )
