@@ -211,7 +211,7 @@ def main():
 
 
 if __name__ == "__main__" and not any(
-    w in sys.argv for w in ("--wave2", "--wave3", "--wave4", "--wave5")
+    w in sys.argv for w in ("--wave2", "--wave3", "--wave4", "--wave5", "--wave6")
 ):
     main()
 
@@ -635,4 +635,90 @@ def main5():
 
 if __name__ == "__main__" and "--wave5" in sys.argv:
     main5()
+    sys.exit(0)
+
+
+def main6():
+    """Sixth wave: (a) ray-COHERENT gather rates for quad vs oct rows —
+    the random-index wave-5 rates understate in-situ performance; (b) one
+    full _fold_transpose at production shape — the exact backward the fold
+    path pays (placement einsum + packed scatter + unpack + rolls)."""
+    import jax
+    import jax.numpy as jnp
+
+    results = {}
+
+    def report(name, ms, detail=""):
+        results[name] = round(ms, 3)
+        print(f"{name:44s} {ms:10.3f} ms  {detail}", flush=True)
+
+    key = jax.random.PRNGKey(0)
+
+    def take_loop(emb, idx, iters=3):
+        def body(k, acc):
+            return acc + jnp.take(emb, idx + k, axis=0, mode="clip").astype(
+                jnp.float32).sum()
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    jt = jax.jit(take_loop)
+
+    # coherent "ray walk": 16384 rays x 128 samples advancing 0..3 cells
+    def coherent_idx(n_rows, tmax):
+        rays = n_rows // 128
+        base = jax.random.randint(key, (rays, 1), 0, tmax - 512, jnp.int32)
+        walk = jnp.cumsum(
+            jax.random.randint(key, (rays, 128), 0, 4, jnp.int32), axis=1
+        )
+        return (base + walk).reshape(-1)
+
+    emb16 = jnp.zeros((T, 16), jnp.bfloat16) + 0.5
+    idx = coherent_idx(2_097_152, T)
+    ms = timed(jt, emb16, idx, iters=3)
+    report("take_oct_16ch_coherent_2.1M", ms, f"{ms*1e6/2_097_152:.2f} ns/row")
+
+    emb8 = jnp.zeros((T, 8), jnp.bfloat16) + 0.5
+    idx = coherent_idx(4_194_304, T)
+    ms = timed(jt, emb8, idx, iters=3)
+    report("take_quad_8ch_coherent_4.2M", ms, f"{ms*1e6/4_194_304:.2f} ns/row")
+
+    # one full fold transpose at the diff-path shape (L=16, B=100352)
+    import os, sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from monosdf_tpu.ops.hashgrid import HashGridConfig, _fold_transpose
+
+    cfg = HashGridConfig(
+        num_levels=16, level_dim=2, base_resolution=16,
+        log2_hashmap_size=19, desired_resolution=2048,
+        table_dtype="bfloat16", scatter_impl="fold",
+        hash_scheme="add", layout="oct",
+    )
+    L, B = 16, 100_352
+    levels = cfg.level_params()
+    offs = jnp.asarray([lv[0] for lv in levels], jnp.int32)[:, None]
+    hms = jnp.asarray([lv[1] for lv in levels], jnp.int32)[:, None]
+    row0 = (
+        jax.random.randint(key, (L, B), 0, 1 << 30, jnp.int32) % hms + offs
+    )
+    u_vals = jnp.ones((L, B, 16), jnp.bfloat16)
+
+    jf = jax.jit(
+        lambda r, u: _fold_transpose(cfg, r, u, jnp.float32).sum()
+    )
+    ms = timed(jf, row0, u_vals, iters=1)
+    report("fold_transpose_prod", ms, f"{L*B} update rows")
+
+    # the oct table build alone (8 rolls x 16 levels, bf16)
+    from monosdf_tpu.ops.hashgrid import build_oct_table, init_hashgrid
+
+    params = init_hashgrid(key, cfg)
+
+    jb = jax.jit(lambda p: build_oct_table(p, cfg).astype(jnp.float32).sum())
+    ms = timed(jb, params, iters=1)
+    report("build_oct_table", ms)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__" and "--wave6" in sys.argv:
+    main6()
     sys.exit(0)
