@@ -240,9 +240,9 @@ def build_quad_table(params: dict, cfg: HashGridConfig) -> jnp.ndarray:
             jnp.concatenate(
                 [
                     blk,
-                    jnp.roll(blk, -1, axis=0),
-                    jnp.roll(blk, -(s1 % hms), axis=0),
-                    jnp.roll(blk, -((s1 + 1) % hms), axis=0),
+                    _roll_rows(blk, -1),
+                    _roll_rows(blk, -(s1 % hms)),
+                    _roll_rows(blk, -((s1 + 1) % hms)),
                 ],
                 axis=-1,
             )
@@ -257,6 +257,42 @@ def _oct_deltas(s1: int, s2: int, hms: int):
         d % hms
         for d in (0, 1, s1, s1 + 1, s2, s2 + 1, s1 + s2, s1 + s2 + 1)
     )
+
+
+def _roll_rows(x: jnp.ndarray, delta: int) -> jnp.ndarray:
+    """Cyclic roll of the ROWS of a narrow (N, C) array, computed in a flat
+    128-lane view when shapes allow.
+
+    A (2^19, 2) table slice occupies 2 of 128 physical lanes, so a naive
+    ``jnp.roll`` (and every other elementwise op on it) moves 64x its
+    logical bytes — measured 117 ms of the grid backward's 164 ms fold
+    transpose (probe wave 6). In the flat row-major view (N*C/128, 128) the
+    same roll is: out_flat[k] = in_flat[k - delta*C], i.e. two WIDE row
+    rolls (by q and q+1, q = (delta*C)//128), a lane rotation by r =
+    (delta*C)%128, and a lane select — ~5 full-lane ops on 1/64th the
+    physical traffic."""
+    n, C = x.shape
+    s = (delta % n) * C
+    if s == 0:
+        return x
+    if (n * C) % 128 != 0:
+        return jnp.roll(x, delta, axis=0)  # small odd-sized dense levels
+    return _roll_flat(x.reshape(-1, 128), s).reshape(n, C)
+
+
+def _roll_flat(flat: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Roll a flattened row-major sequence viewed as (M, 128) by s slots."""
+    M = flat.shape[0]
+    s = s % (M * 128)
+    q, r = divmod(s, 128)
+    a = jnp.roll(flat, q, axis=0)
+    if r == 0:
+        return a
+    b = jnp.roll(flat, q + 1, axis=0)
+    ar = jnp.roll(a, r, axis=1)
+    br = jnp.roll(b, r, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    return jnp.where(lane >= r, ar, br)
 
 
 def _fold_transpose(cfg: HashGridConfig, row0, u_vals, out_dtype):
@@ -287,40 +323,66 @@ def _fold_transpose(cfg: HashGridConfig, row0, u_vals, out_dtype):
         # ship update rows at the cotangent dtype (bf16 when the table is
         # bf16 — halves the DMA); the kernel accumulates in f32
         U = fold_scatter_table(row0, u_vals, cfg)
-    else:
-        u_vals = u_vals.astype(jnp.float32)
-        W = 8 * C
-        P = 128 // W
-        off8 = []
-        t8 = 0
-        for _, hms, _, _ in levels:
-            off8.append(t8)
-            t8 += (hms + P - 1) // P
-        off_arr = jnp.asarray([lv[0] for lv in levels], jnp.int32)
-        off8_arr = jnp.asarray(off8, jnp.int32)
-        local = row0 - off_arr[:, None]  # (L, B) in [0, hms)
-        sub = local % P
-        r8 = local // P + off8_arr[:, None]
-        oh = jax.nn.one_hot(sub, P, dtype=jnp.float32)  # (L, B, P)
-        placed = jnp.einsum("lbp,lbw->lbpw", oh, u_vals).reshape(-1, 128)
-        U8 = jnp.zeros((t8, 128), jnp.float32).at[r8.reshape(-1)].add(
-            placed, mode="promise_in_bounds"
-        )
-        U = jnp.concatenate(
-            [
-                jax.lax.slice_in_dim(U8, o8, o8 + (hms + P - 1) // P)
-                .reshape(-1, W)[:hms]
-                for (_, hms, _, _), o8 in zip(levels, off8)
-            ],
-            axis=0,
-        )
+        blocks = []
+        for (off, hms, _, _), (s1, s2) in zip(levels, shifts):
+            Ul = jax.lax.slice_in_dim(U, off, off + hms, axis=0)
+            d = jnp.zeros((hms, C), jnp.float32)
+            for q, dq in enumerate(_oct_deltas(s1, s2, hms)):
+                d = d + _roll_rows(Ul[:, q * C:(q + 1) * C], dq)
+            blocks.append(d)
+        return jnp.concatenate(blocks, axis=0).astype(out_dtype)
+
+    u_vals = u_vals.astype(jnp.float32)
+    W = 8 * C
+    P = 128 // W
+    off8 = []
+    t8 = 0
+    for _, hms, _, _ in levels:
+        off8.append(t8)
+        t8 += (hms + P - 1) // P
+    off_arr = jnp.asarray([lv[0] for lv in levels], jnp.int32)
+    off8_arr = jnp.asarray(off8, jnp.int32)
+    local = row0 - off_arr[:, None]  # (L, B) in [0, hms)
+    sub = local % P
+    r8 = local // P + off8_arr[:, None]
+    oh = jax.nn.one_hot(sub, P, dtype=jnp.float32)  # (L, B, P)
+    placed = jnp.einsum("lbp,lbw->lbpw", oh, u_vals).reshape(-1, 128)
+    U8 = jnp.zeros((t8, 128), jnp.float32).at[r8.reshape(-1)].add(
+        placed, mode="promise_in_bounds"
+    )
+    # Fold the 8 corner blocks back per level WITHOUT materializing the
+    # narrow (hms, 8C) view: a (hms, C) slice occupies C of 128 physical
+    # lanes, so narrow rolls/adds cost 128/C times their logical traffic
+    # (probe wave 6: 117 of the 164 ms fold transpose). Where shapes align
+    # (C == 2, hms % 64 == 0 — all 2^19 hashed levels + the base level),
+    # one wide transpose of the PACKED scatter rows regroups each corner
+    # pair q into its own (hms/64, 128) flat view, and the corner roll is
+    # a flat 128-lane roll (_roll_flat). Small odd-sized dense levels take
+    # the narrow path (few MB each).
     blocks = []
-    for (off, hms, _, _), (s1, s2) in zip(levels, shifts):
-        Ul = jax.lax.slice_in_dim(U, off, off + hms, axis=0)
-        d = jnp.zeros((hms, C), jnp.float32)
-        for q, dq in enumerate(_oct_deltas(s1, s2, hms)):
-            d = d + jnp.roll(Ul[:, q * C:(q + 1) * C], dq, axis=0)
-        blocks.append(d)
+    for li, ((off, hms, _, _), (s1, s2)) in enumerate(zip(levels, shifts)):
+        rows8 = (hms + P - 1) // P
+        U8l = jax.lax.slice_in_dim(U8, off8[li], off8[li] + rows8)
+        deltas = _oct_deltas(s1, s2, hms)
+        if C == 2 and P == 8 and hms % 64 == 0:
+            # logical row j = 64r + 8*mh + ml sits at U8l[8r + mh,
+            # lane 16*ml + 2q + c]; regroup to V[r, q, 16*mh + 2*ml + c]
+            # = corner pair q packed 64 logical rows per physical row
+            V = (
+                U8l.reshape(hms // 64, 8, 8, 8, 2)
+                .transpose(0, 3, 1, 2, 4)
+                .reshape(hms // 64, 8, 128)
+            )
+            d2 = jnp.zeros((hms // 64, 128), jnp.float32)
+            for q, dq in enumerate(deltas):
+                d2 = d2 + _roll_flat(V[:, q, :], C * dq)
+            blocks.append(d2.reshape(hms, C))
+        else:
+            Ul = U8l.reshape(rows8 * P, W)[:hms]
+            d = jnp.zeros((hms, C), jnp.float32)
+            for q, dq in enumerate(deltas):
+                d = d + _roll_rows(Ul[:, q * C:(q + 1) * C], dq)
+            blocks.append(d)
     return jnp.concatenate(blocks, axis=0).astype(out_dtype)
 
 
@@ -368,10 +430,7 @@ def build_oct_table(params: dict, cfg: HashGridConfig) -> jnp.ndarray:
         blk = jax.lax.slice_in_dim(emb, off, off + hms, axis=0)
         blocks.append(
             jnp.concatenate(
-                [
-                    jnp.roll(blk, -dq, axis=0)
-                    for dq in _oct_deltas(s1, s2, hms)
-                ],
+                [_roll_rows(blk, -dq) for dq in _oct_deltas(s1, s2, hms)],
                 axis=-1,
             )
         )
