@@ -239,10 +239,15 @@ def build_quad_table(params: dict, cfg: HashGridConfig) -> jnp.ndarray:
         blocks.append(
             jnp.concatenate(
                 [
+                    # plain jnp.roll: in the BUILD the narrow (hms, C) roll
+                    # is a compact HBM copy; the flat-wide variant pays a
+                    # wide->narrow relayout per piece (probe wave 6:
+                    # 30 -> 139 ms). _roll_rows is for the fold path only,
+                    # where rolls feed WIDE adds.
                     blk,
-                    _roll_rows(blk, -1),
-                    _roll_rows(blk, -(s1 % hms)),
-                    _roll_rows(blk, -((s1 + 1) % hms)),
+                    jnp.roll(blk, -1, axis=0),
+                    jnp.roll(blk, -(s1 % hms), axis=0),
+                    jnp.roll(blk, -((s1 + 1) % hms), axis=0),
                 ],
                 axis=-1,
             )
@@ -430,7 +435,11 @@ def build_oct_table(params: dict, cfg: HashGridConfig) -> jnp.ndarray:
         blk = jax.lax.slice_in_dim(emb, off, off + hms, axis=0)
         blocks.append(
             jnp.concatenate(
-                [_roll_rows(blk, -dq) for dq in _oct_deltas(s1, s2, hms)],
+                # plain jnp.roll — see build_quad_table's layout note
+                [
+                    jnp.roll(blk, -dq, axis=0)
+                    for dq in _oct_deltas(s1, s2, hms)
+                ],
                 axis=-1,
             )
         )
