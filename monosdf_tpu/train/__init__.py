@@ -1,2 +1,7 @@
 from .optim import OptimConfig, make_optimizer
-from .step import TrainState, make_train_step, init_train_state
+from .step import (
+    TrainState,
+    make_train_step,
+    make_train_step_scan,
+    init_train_state,
+)

@@ -62,3 +62,30 @@ def make_train_step(
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return train_step
+
+
+def make_train_step_scan(
+    cfg: MonoSDFConfig,
+    loss_cfg: LossConfig,
+    optimizer: optax.GradientTransformation,
+):
+    """Returns train_steps(state, batches, keys) -> (state, stacked metrics).
+
+    Runs S sequential train steps inside ONE jitted program via lax.scan —
+    amortizing the per-dispatch host/tunnel overhead (~1.3 ms/step measured
+    on the v5e) across the chunk. ``batches`` is the single-step batch
+    pytree with a leading (S, ...) axis; ``keys`` is (S, 2) PRNG keys.
+    Metrics come back stacked (S,) per entry; the trainer logs the last row
+    of each chunk. Semantics are EXACTLY S calls of the single step (scan
+    carries the same TrainState)."""
+    step = make_train_step(cfg, loss_cfg, optimizer)
+
+    def train_steps(state: TrainState, batches, keys):
+        def body(carry, xs):
+            batch, key = xs
+            new_state, metrics = step(carry, batch, key)
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, (batches, keys))
+
+    return train_steps

@@ -252,3 +252,56 @@ class TestParallel:
                 p, np.asarray(s), rtol=0, atol=1e-6,
                 err_msg=f"param {jax.tree_util.keystr(path)} diverges",
             )
+
+
+def test_scan_step_matches_sequential_steps():
+    """make_train_step_scan over S batches must equal S sequential
+    make_train_step calls exactly (same TrainState carry)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from monosdf_tpu.data import make_synthetic_sphere_scene, sample_ray_batch
+    from monosdf_tpu.losses import LossConfig
+    from monosdf_tpu.models import init_monosdf
+    from monosdf_tpu.train import (
+        OptimConfig, init_train_state, make_optimizer, make_train_step,
+        make_train_step_scan,
+    )
+    cfg = tiny_cfg()
+    params = init_monosdf(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(OptimConfig(decay_steps=100))
+    state0 = init_train_state(params, opt)
+
+    scene = make_synthetic_sphere_scene(n_images=2, img_res=24)
+    rng = np.random.default_rng(0)
+    S = 3
+    batches = [
+        jax.tree_util.tree_map(jnp.asarray, sample_ray_batch(scene, rng, 32))
+        for _ in range(S)
+    ]
+    for b in batches:
+        b.pop("indices", None)
+    keys = jnp.stack([jax.random.PRNGKey(i) for i in range(S)])
+
+    step = jax.jit(make_train_step(cfg, LossConfig(), opt))
+    st = state0
+    seq_losses = []
+    for i in range(S):
+        st, m = step(st, batches[i], keys[i])
+        seq_losses.append(float(m["loss"]))
+
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *batches
+    )
+    scan_step = jax.jit(make_train_step_scan(cfg, LossConfig(), opt))
+    st2, ms = scan_step(state0, stacked, keys)
+    np.testing.assert_allclose(
+        np.asarray(ms["loss"]), np.asarray(seq_losses), rtol=2e-5, atol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st.params), jax.tree_util.tree_leaves(st2.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+        )

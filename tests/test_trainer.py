@@ -295,3 +295,19 @@ class TestGridFlavorMigration:
             np.testing.assert_allclose(
                 np.asarray(pa), np.asarray(pb), rtol=1e-6, atol=1e-7
             )
+
+
+class TestScanChunkedTrainer:
+    def test_steps_per_call_runs_and_checkpoints(self, tmp_path, scene):
+        """steps_per_call > 1: the scan fast path must advance the step
+        counter exactly, write metrics rows, and still hit checkpoint
+        boundaries (period-crossing logic)."""
+        exp = tiny_exp(max_total_iters=24, checkpoint_freq=2)
+        tr = Trainer(exp, scene, exps_root=str(tmp_path), seed=0,
+                     timestamp="20260101-000001", steps_per_call=4)
+        state = tr.train(log_every=8)
+        assert int(jax.device_get(state.step)) == 24
+        rows = [json.loads(l) for l in
+                open(os.path.join(tr.run_dir, "metrics.jsonl"))]
+        assert rows and np.isfinite(rows[-1]["loss"])
+        assert os.path.exists(os.path.join(tr.ckpt_dir, "latest.ckpt"))
