@@ -33,7 +33,6 @@ REFERENCE_GRIDS_RAYS_PER_SEC = 15_000.0
 NUM_RAYS = 1024
 WARMUP = 3
 ITERS = 20
-SCAN_S = 10  # steps per dispatch (scan-chunked; see make_train_step_scan)
 
 
 def main():
@@ -50,7 +49,7 @@ def main():
         OptimConfig,
         init_train_state,
         make_optimizer,
-        make_train_step_scan,
+        make_train_step,
     )
 
     # --grids: the flagship ScanNet-grids work budget instead (16-level
@@ -65,7 +64,7 @@ def main():
                 num_levels=16, level_dim=2, base_resolution=16,
                 log2_hashmap_size=19, desired_resolution=2048,
                 table_dtype="bfloat16", scatter_impl="fold",
-                hash_scheme="add", layout="oct",
+                hash_scheme="add", layout="quad",
             ),
             divide_factor=1.1, sdf_bounding_sphere=0.0,
         )
@@ -100,46 +99,33 @@ def main():
         OptimConfig(learning_rate=5e-4, decay_steps=150_000, grid_mode=grids)
     )
     state = init_train_state(params, opt)
-    # scan-chunked stepping (monosdf_tpu.train.make_train_step_scan):
-    # SCAN_S sequential steps per dispatch inside one jitted program —
-    # the production trainer's fast path; amortizes the ~1.3 ms/step
-    # host/tunnel dispatch overhead measured on the v5e.
-    scan_step = jax.jit(
-        make_train_step_scan(cfg, LossConfig(), opt), donate_argnums=(0,)
-    )
+    step = jax.jit(make_train_step(cfg, LossConfig(), opt), donate_argnums=(0,))
 
     scene = make_synthetic_sphere_scene(n_images=4, img_res=64)
     rng = np.random.default_rng(0)
-    batches = [
-        jax.tree_util.tree_map(
-            jnp.asarray, sample_ray_batch(scene, rng, NUM_RAYS)
-        )
-        for _ in range(SCAN_S)
-    ]
-    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
-
-    def keys_for(base):
-        return jax.random.split(jax.random.PRNGKey(base), SCAN_S)
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, sample_ray_batch(scene, rng, NUM_RAYS)
+    )
 
     # NOTE: in this environment block_until_ready does not wait for remote
-    # execution; only a host fetch does. Timing therefore runs chained scan
-    # calls and fetches the LAST loss (which transitively forces every
-    # step), subtracting one measured round-trip latency.
-    state, metrics = scan_step(state, stacked, keys_for(0))
-    _ = float(metrics["loss"][-1])  # force warmup + compile
+    # execution; only a host fetch does. Timing therefore runs ITERS chained
+    # steps and fetches the LAST loss (which transitively forces every step),
+    # subtracting one measured round-trip latency.
+    for i in range(WARMUP):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+    _ = float(metrics["loss"])  # force warmup + compile
 
     t_rt = time.perf_counter()
-    _ = float(metrics["loss"][-1])  # round-trip latency on materialized value
+    _ = float(metrics["loss"])  # round-trip latency on materialized value
     rt = time.perf_counter() - t_rt
 
-    n_calls = ITERS // SCAN_S
     t0 = time.perf_counter()
-    for i in range(n_calls):
-        state, metrics = scan_step(state, stacked, keys_for(100 + i))
-    _ = float(metrics["loss"][-1])
+    for i in range(ITERS):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+    _ = float(metrics["loss"])
     dt = time.perf_counter() - t0 - rt
 
-    rays_per_sec = NUM_RAYS * n_calls * SCAN_S / dt
+    rays_per_sec = NUM_RAYS * ITERS / dt
     denom = REFERENCE_GRIDS_RAYS_PER_SEC if grids else REFERENCE_RAYS_PER_SEC
     print(
         json.dumps(

@@ -92,10 +92,13 @@ class Trainer:
                 make_train_step(exp.model, exp.loss, self.optimizer),
                 donate_argnums=(0,),
             )
-        # scan-chunked fast path: S sequential steps per dispatch inside one
-        # jitted program (make_train_step_scan) — amortizes the ~1.3 ms/step
-        # host/tunnel dispatch overhead measured on the v5e. Single-device
-        # only (the sharded step has its own dispatch path).
+        # scan-chunked stepping: S sequential steps per dispatch inside one
+        # jitted program (make_train_step_scan). MEASURED REJECT for the
+        # v5e MLP flagship (27.2 vs 21.6 ms/step — the scanned while-loop
+        # loses the cross-step weight-prefetch overlap and pays a second
+        # donation-variant compile); kept for hosts where dispatch is the
+        # bottleneck (e.g. high-latency tunnels with small models). Single-
+        # device only (the sharded step has its own dispatch path).
         self.steps_per_call = max(1, int(steps_per_call)) if n_devices == 1 else 1
         if self.steps_per_call > 1:
             from .step import make_train_step_scan
