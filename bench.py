@@ -82,7 +82,9 @@ def main():
         sampler=SamplerConfig(
             scene_bounding_sphere=1.1, N_samples=64, N_samples_eval=128,
             N_samples_extra=32, max_total_iters=5, intersection="cube",
-            machinery="pallas",  # fused bisection/error-bound/pdf kernel (ops/pallas_sampler.py)
+            # MLP: fused bisection/error-bound/pdf kernel (pallas_sampler.py)
+            # grids: jnp machinery (the measured-best grid-mode combination)
+            machinery="jnp" if grids else "pallas",
         ),
         scene_bounding_sphere=1.1,
         compute_dtype="bfloat16",

@@ -355,39 +355,22 @@ def _fold_transpose(cfg: HashGridConfig, row0, u_vals, out_dtype):
     U8 = jnp.zeros((t8, 128), jnp.float32).at[r8.reshape(-1)].add(
         placed, mode="promise_in_bounds"
     )
-    # Fold the 8 corner blocks back per level WITHOUT materializing the
-    # narrow (hms, 8C) view: a (hms, C) slice occupies C of 128 physical
-    # lanes, so narrow rolls/adds cost 128/C times their logical traffic
-    # (probe wave 6: 117 of the 164 ms fold transpose). Where shapes align
-    # (C == 2, hms % 64 == 0 — all 2^19 hashed levels + the base level),
-    # one wide transpose of the PACKED scatter rows regroups each corner
-    # pair q into its own (hms/64, 128) flat view, and the corner roll is
-    # a flat 128-lane roll (_roll_flat). Small odd-sized dense levels take
-    # the narrow path (few MB each).
+    # Fold the 8 corner blocks back per level. NOTE (probe wave 6 + full-
+    # step A/B): in ISOLATION the narrow (hms, C) rolls/adds cost 64x their
+    # logical traffic and a flat-wide rewrite measured 164 -> 86 ms — but
+    # IN-GRAPH XLA fuses the narrow rolls into shifted-read fusions and the
+    # wide rewrite's transposes act as fusion barriers: full grids step
+    # 361 ms (narrow) vs 430 ms (wide). The narrow form is kept; trust only
+    # full-step measurements for layout changes.
     blocks = []
     for li, ((off, hms, _, _), (s1, s2)) in enumerate(zip(levels, shifts)):
         rows8 = (hms + P - 1) // P
         U8l = jax.lax.slice_in_dim(U8, off8[li], off8[li] + rows8)
-        deltas = _oct_deltas(s1, s2, hms)
-        if C == 2 and P == 8 and hms % 64 == 0:
-            # logical row j = 64r + 8*mh + ml sits at U8l[8r + mh,
-            # lane 16*ml + 2q + c]; regroup to V[r, q, 16*mh + 2*ml + c]
-            # = corner pair q packed 64 logical rows per physical row
-            V = (
-                U8l.reshape(hms // 64, 8, 8, 8, 2)
-                .transpose(0, 3, 1, 2, 4)
-                .reshape(hms // 64, 8, 128)
-            )
-            d2 = jnp.zeros((hms // 64, 128), jnp.float32)
-            for q, dq in enumerate(deltas):
-                d2 = d2 + _roll_flat(V[:, q, :], C * dq)
-            blocks.append(d2.reshape(hms, C))
-        else:
-            Ul = U8l.reshape(rows8 * P, W)[:hms]
-            d = jnp.zeros((hms, C), jnp.float32)
-            for q, dq in enumerate(deltas):
-                d = d + _roll_rows(Ul[:, q * C:(q + 1) * C], dq)
-            blocks.append(d)
+        Ul = U8l.reshape(rows8 * P, W)[:hms]
+        d = jnp.zeros((hms, C), jnp.float32)
+        for q, dq in enumerate(_oct_deltas(s1, s2, hms)):
+            d = d + jnp.roll(Ul[:, q * C:(q + 1) * C], dq, axis=0)
+        blocks.append(d)
     return jnp.concatenate(blocks, axis=0).astype(out_dtype)
 
 
