@@ -305,3 +305,55 @@ def test_scan_step_matches_sequential_steps():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
         )
+
+
+def test_xor_vs_add_scheme_convergence_ab():
+    """The production encoding deviates from the reference's xor corner
+    hash (hashencoder.cu:35-72) to the additive affine scheme (what makes
+    quad/oct layouts and the fold backward possible). A/B: train the SAME
+    tiny grid model a few hundred steps under each scheme — both must
+    converge to the same loss class (VERDICT r2 #3)."""
+    import dataclasses as dc
+
+    import numpy as np
+
+    from monosdf_tpu.data import make_synthetic_sphere_scene, sample_ray_batch
+    from monosdf_tpu.losses import LossConfig
+
+    def run(scheme, layout, scatter):
+        cfg = tiny_cfg(use_grid=True)
+        cfg = dc.replace(
+            cfg,
+            implicit=dc.replace(
+                cfg.implicit,
+                grid=dc.replace(
+                    cfg.implicit.grid, hash_scheme=scheme, layout=layout,
+                    scatter_impl=scatter,
+                ),
+            ),
+        )
+        params = init_monosdf(jax.random.PRNGKey(0), cfg)
+        opt = make_optimizer(OptimConfig(grid_mode=True, decay_steps=10**6))
+        state = init_train_state(params, opt)
+        step = jax.jit(make_train_step(cfg, LossConfig(), opt))
+        scene = make_synthetic_sphere_scene(n_images=2, img_res=24)
+        rng = np.random.default_rng(0)
+        losses = []
+        for i in range(300):
+            batch = jnp_batch(sample_ray_batch(scene, rng, 64))
+            batch.pop("indices", None)
+            state, m = step(state, batch, jax.random.PRNGKey(i))
+            if i >= 280:
+                losses.append(float(m["loss"]))
+        return float(np.mean(losses))
+
+    loss_xor = run("xor", "rows", "flat")
+    loss_add = run("add", "quad", "fold")
+    assert np.isfinite(loss_xor) and np.isfinite(loss_add)
+    # same convergence class: tail losses within 25% of each other and both
+    # clearly below the untrained level (~0.6 on this scene)
+    assert loss_add < 0.35, f"add-scheme tail loss {loss_add:.3f}"
+    assert loss_xor < 0.35, f"xor-scheme tail loss {loss_xor:.3f}"
+    assert abs(loss_add - loss_xor) <= 0.25 * max(loss_add, loss_xor) + 0.02, (
+        f"xor {loss_xor:.4f} vs add {loss_add:.4f}"
+    )
