@@ -121,9 +121,14 @@ def main():
     _ = float(metrics["loss"])  # round-trip latency on materialized value
     rt = time.perf_counter() - t_rt
 
+    # pre-materialize the per-step keys: PRNGKey() inside the timing loop
+    # costs a host->device transfer per dispatch
+    keys = [jax.random.PRNGKey(100 + i) for i in range(ITERS)]
+    _ = float(keys[-1][0])
+
     t0 = time.perf_counter()
     for i in range(ITERS):
-        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+        state, metrics = step(state, batch, keys[i])
     _ = float(metrics["loss"])
     dt = time.perf_counter() - t0 - rt
 
