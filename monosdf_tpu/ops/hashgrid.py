@@ -339,6 +339,10 @@ def _fold_transpose(cfg: HashGridConfig, row0, u_vals, out_dtype):
 
     u_vals = u_vals.astype(jnp.float32)
     W = 8 * C
+    assert 128 % W == 0, (
+        f"scatter_impl='fold' requires 8*level_dim to divide 128 "
+        f"(level_dim={C} gives row width {W})"
+    )
     P = 128 // W
     off8 = []
     t8 = 0

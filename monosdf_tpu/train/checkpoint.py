@@ -104,13 +104,36 @@ def _is_partition_node(t):
 
 
 def _lookup_path(tree, path):
+    """Descend ``tree`` along a jax.tree_util key path. Handles DictKey /
+    GetAttrKey (dicts, namedtuples) AND SequenceKey / FlattenedIndexKey
+    (lists, tuples), so partition-state migration doesn't silently degrade
+    to a fresh optimizer state for sequence-bearing params (ADVICE r3)."""
     node = tree
     for p in path:
-        k = getattr(p, "key", getattr(p, "name", None))
-        if isinstance(node, dict) and k in node:
-            node = node[k]
+        if isinstance(node, dict):
+            k = getattr(p, "key", getattr(p, "name", None))
+            if k in node:
+                node = node[k]
+            else:
+                return None
+        elif isinstance(node, (list, tuple)):
+            i = getattr(p, "idx", None)
+            if i is None:
+                i = getattr(p, "key", None)
+            if isinstance(i, int) and -len(node) <= i < len(node):
+                node = node[i]
+            else:
+                name = getattr(p, "name", None)
+                if name is not None and hasattr(node, name):
+                    node = getattr(node, name)
+                else:
+                    return None
         else:
-            return None
+            name = getattr(p, "name", None)
+            if name is not None and hasattr(node, name):
+                node = getattr(node, name)
+            else:
+                return None
     return node
 
 

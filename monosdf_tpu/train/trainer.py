@@ -209,7 +209,10 @@ class Trainer:
         S = self.steps_per_call
         it = it0
         while it < max_iters:
-            s_chunk = min(S, max_iters - it)
+            # tail chunks run as single steps: a ragged final scan shape
+            # would force a second full jit compile (2-10+ min remote on
+            # this box) for one chunk (ADVICE r3)
+            s_chunk = S if (max_iters - it) >= S else 1
             if s_chunk > 1:
                 batches = [self.sample_batch(num_rays) for _ in range(s_chunk)]
                 stacked = jax.tree_util.tree_map(

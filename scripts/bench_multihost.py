@@ -94,9 +94,12 @@ def main():
     pstep = make_parallel_train_step(cfg, LossConfig(), opt, mesh)
 
     key = jax.random.PRNGKey(jax.process_index())
-    for i in range(args.warmup):
+    # warmup >= 1 always: the post-warmup fetch both forces execution
+    # (block_until_ready lies under axon) and keeps compile/dispatch
+    # backlog out of the timed loop (ADVICE r3)
+    for i in range(max(1, args.warmup)):
         state, metrics = pstep(state, batch, jax.random.fold_in(key, i))
-    _ = float(metrics["loss"])  # force (block_until_ready lies under axon)
+    _ = float(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(args.iters):

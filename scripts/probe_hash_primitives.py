@@ -211,7 +211,8 @@ def main():
 
 
 if __name__ == "__main__" and not any(
-    w in sys.argv for w in ("--wave2", "--wave3", "--wave4", "--wave5", "--wave6")
+    w in sys.argv
+    for w in ("--wave2", "--wave3", "--wave4", "--wave5", "--wave6", "--wave7")
 ):
     main()
 
@@ -721,4 +722,240 @@ def main6():
 
 if __name__ == "__main__" and "--wave6" in sys.argv:
     main6()
+    sys.exit(0)
+
+
+def main7():
+    """Seventh wave (round 4): latency-hiding groundwork.
+
+    (a) gather CONCURRENCY: does XLA overlap K independent takes?
+    (b) gather/matmul overlap: is a take async w.r.t. MXU work?
+    (c) scatter concurrency: K independent packed scatters.
+    (d) VMEM capacity re-check (32..110 MB Pallas allocs).
+    (e) per-row async-DMA gather rate (8-deep semaphore pipeline).
+    (f) Mosaic strided sublane slice + 0/1 lane-permute matmul compile check
+        (the building blocks of the round-4 fold/build kernels).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    results = {}
+
+    def report(name, ms, detail=""):
+        results[name] = round(ms, 3)
+        print(f"{name:44s} {ms:10.3f} ms  {detail}", flush=True)
+
+    key = jax.random.PRNGKey(0)
+    N_Q = 4_194_304  # quad sweep rows/step-sweep
+
+    # ---- (a) gather concurrency ------------------------------------------
+    emb8 = jnp.zeros((T, 8), jnp.bfloat16) + 0.5
+    idx = jax.random.randint(key, (N_Q,), 0, T, jnp.int32)
+
+    for K in (1, 2, 4, 8):
+        chunks = [idx[i * (N_Q // K):(i + 1) * (N_Q // K)] for i in range(K)]
+
+        def takeK(emb, *cs):
+            acc = 0.0
+            for c in cs:
+                acc = acc + jnp.take(emb, c, axis=0, mode="clip").astype(
+                    jnp.float32).sum()
+            return acc
+
+        ms = timed(jax.jit(takeK), emb8, *chunks, iters=1)
+        report(f"take_split{K}", ms, f"{K} independent takes, {N_Q} rows total")
+
+    # per-level: 16 takes from 16 separate tables
+    tabs = [jnp.zeros((524288, 8), jnp.bfloat16) + 0.5 for _ in range(16)]
+    idxs16 = [jax.random.randint(jax.random.PRNGKey(i), (N_Q // 16,), 0, 524288,
+                                 jnp.int32) for i in range(16)]
+
+    def take16(ts, cs):
+        acc = 0.0
+        for t, c in zip(ts, cs):
+            acc = acc + jnp.take(t, c, axis=0, mode="clip").astype(
+                jnp.float32).sum()
+        return acc
+
+    ms = timed(jax.jit(take16), tabs, idxs16, iters=1)
+    report("take_perlevel16", ms, "16 tables x 262k rows")
+
+    # batched single-op variant
+    tabs_s = jnp.stack(tabs)
+    idxs_s = jnp.stack(idxs16)
+
+    def take_b(ts, cs):
+        return jax.vmap(lambda t, c: jnp.take(t, c, axis=0, mode="clip"))(
+            ts, cs).astype(jnp.float32).sum()
+
+    ms = timed(jax.jit(take_b), tabs_s, idxs_s, iters=1)
+    report("take_batched16", ms, "one vmapped gather")
+
+    # ---- (b) gather + matmul overlap -------------------------------------
+    a = jnp.zeros((2048, 2048), jnp.bfloat16) + 0.01
+    b = jnp.zeros((2048, 2048), jnp.bfloat16) + 0.01
+    MM_ITERS = 128
+
+    def mm(a, b):
+        def body(i, x):
+            return jnp.tanh(x @ b)
+        return jax.lax.fori_loop(0, MM_ITERS, body, a).astype(jnp.float32).sum()
+
+    def g(emb, idx):
+        return jnp.take(emb, idx, axis=0, mode="clip").astype(jnp.float32).sum()
+
+    ms_g = timed(jax.jit(g), emb8, idx, iters=1)
+    report("ovl_gather_alone", ms_g)
+    ms_m = timed(jax.jit(mm), a, b, iters=1)
+    report("ovl_matmul_alone", ms_m)
+
+    def both(emb, idx, a, b):
+        return g(emb, idx) + mm(a, b)
+
+    ms_b = timed(jax.jit(both), emb8, idx, a, b, iters=1)
+    report("ovl_both", ms_b, f"serial would be {ms_g + ms_m:.1f}")
+
+    # ---- (c) scatter concurrency ------------------------------------------
+    t8 = 762_264
+    n = N_FOLD
+    vals = jnp.ones((n, 128), jnp.float32)
+    idxf = jax.random.randint(key, (n,), 0, t8, jnp.int32)
+
+    for K in (1, 2, 4):
+        rows_k = t8 // K
+        chunks = [(idxf[i * (n // K):(i + 1) * (n // K)] % rows_k)
+                  for i in range(K)]
+        vs = [vals[i * (n // K):(i + 1) * (n // K)] for i in range(K)]
+
+        def scK(cs, vv):
+            acc = 0.0
+            for c, v in zip(cs, vv):
+                z = jnp.zeros((rows_k, 128), jnp.float32)
+                acc = acc + z.at[c].add(v, mode="promise_in_bounds").sum()
+            return acc
+
+        ms = timed(jax.jit(scK), chunks, vs, iters=1)
+        report(f"scatter_split{K}", ms, f"{K} scatters, {n} rows total")
+
+    # ---- (d) VMEM capacity -------------------------------------------------
+    for mb in (32, 64, 96, 110):
+        rows = mb * 1024 * 1024 // (128 * 4)
+
+        def kern(out_ref):
+            out_ref[:] = jnp.zeros_like(out_ref)
+            out_ref[0, 0] = 1.0
+
+        try:
+            f = pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=128 * 1024 * 1024
+                ),
+            )
+            v = float(jax.jit(lambda: f()[0, 0])())
+            report(f"vmem_alloc_{mb}MB", 0.0, f"ok v={v}")
+        except Exception as e:
+            report(f"vmem_alloc_{mb}MB", float("nan"),
+                   f"FAILED {type(e).__name__}: {str(e)[:100]}")
+
+    # ---- (e) per-row DMA gather --------------------------------------------
+    NROWS = 65536
+    tab = jnp.zeros((T // 8, 128), jnp.float32) + 0.5
+    ridx = jax.random.randint(key, (NROWS,), 0, T // 8, jnp.int32)
+
+    def dma_kern(idx_ref, tab_ref, out_ref, scratch, sems):
+        NS = 8
+
+        def start(i):
+            r = idx_ref[i]
+            pltpu.make_async_copy(
+                tab_ref.at[pl.ds(r, 1)], scratch.at[pl.ds(i % NS, 1)],
+                sems.at[i % NS],
+            ).start()
+
+        for i in range(NS):
+            start(i)
+
+        def body(i, acc):
+            pltpu.make_async_copy(
+                tab_ref.at[pl.ds(0, 1)], scratch.at[pl.ds(i % NS, 1)],
+                sems.at[i % NS],
+            ).wait()
+            acc = acc + scratch[i % NS, 0]
+
+            @pl.when(i + NS < NROWS)
+            def _():
+                start(i + NS)
+
+            return acc
+
+        out_ref[0, 0] = jax.lax.fori_loop(0, NROWS, body, 0.0)
+
+    try:
+        f = pl.pallas_call(
+            dma_kern,
+            out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            scratch_shapes=[
+                pltpu.VMEM((8, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((8,)),
+            ],
+        )
+        jf = jax.jit(lambda i_, t_: f(i_, t_)[0, 0])
+        ms = timed(jf, ridx, tab, iters=1)
+        report("perrow_dma_64k", ms, f"{ms * 1e6 / NROWS:.1f} ns/row")
+    except Exception as e:
+        report("perrow_dma_64k", float("nan"),
+               f"FAILED {type(e).__name__}: {str(e)[:160]}")
+
+    # ---- (f) strided sublane slice + lane-permute matmul -------------------
+    perm = np.zeros((128, 128), np.float32)
+    for l in range(128):
+        perm[(l * 37) % 128, l] = 1.0
+    permc = jnp.asarray(perm)
+
+    def sk(x_ref, p_ref, out_ref):
+        acc = jnp.zeros_like(out_ref)
+        for beta in range(9):
+            s = x_ref[beta::8, :][:1024, :]
+            acc += jax.lax.dot(s, p_ref[:], preferred_element_type=jnp.float32)
+        out_ref[:] = acc
+
+    x = jnp.ones((8200, 128), jnp.float32)
+    try:
+        f = pl.pallas_call(
+            sk,
+            out_shape=jax.ShapeDtypeStruct((1024, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+        jf = jax.jit(lambda x_, p_: f(x_, p_).sum())
+        REPS = 64
+
+        def loop(x_, p_):
+            def body(i, acc):
+                return acc + f(x_ + acc * 0, p_).sum() * 0 + 1.0
+            return jax.lax.fori_loop(0, 1, body, 0.0) + jf(x_, p_)
+
+        ms = timed(jax.jit(loop), x, permc, iters=1)
+        report("strided_permute_kernel", ms, "9 strided slices + 9 matmuls")
+    except Exception as e:
+        report("strided_permute_kernel", float("nan"),
+               f"FAILED {type(e).__name__}: {str(e)[:200]}")
+
+    import json
+    print(json.dumps(results))
+
+
+if __name__ == "__main__" and "--wave7" in sys.argv:
+    main7()
     sys.exit(0)
