@@ -82,6 +82,15 @@ class HashGridConfig:
     # row width (probe waves 2/5), so quad cuts the sweep gather ~3x vs
     # rows and oct halves it again. 'quad'/'oct' require hash_scheme='add'.
     layout: str = "rows"
+    # Round-4 Pallas kernels for the fold backward's roll/unpack glue and
+    # the quad-table build (ops/pallas_fold.py): 'xla' keeps the in-graph
+    # narrow-lane forms; 'pallas' routes the uniform-hms hashed levels
+    # through 128-lane kernels (static lane-permute matmuls + VMEM
+    # accumulation). fold_impl='pallas' requires scatter_impl='fold' and
+    # layout='quad'; build_impl='pallas' additionally plane-permutes the
+    # hashed levels' quad rows (the gather indices follow automatically).
+    fold_impl: str = "xla"
+    build_impl: str = "xla"
 
     @property
     def scale(self) -> float:
@@ -264,6 +273,41 @@ def _oct_deltas(s1: int, s2: int, hms: int):
     )
 
 
+def _hash_group(cfg: HashGridConfig):
+    """The uniform tail of hashed levels: (h0, n_hash, hms, (s1, s2)).
+
+    All hashed levels of a schedule share hashmap_size (= 2^log2_hashmap_size)
+    and the additive shifts (_ADD_MULTS mod hms), so one Pallas kernel
+    instance serves the whole group. Returns n_hash = 0 when there is no
+    eligible group (then callers keep the XLA path)."""
+    levels = cfg.level_params()
+    shifts = _level_shifts(cfg)
+    D = cfg.input_dim
+    h0 = next(
+        (i for i, lv in enumerate(levels) if lv[2] ** D > lv[1]), len(levels)
+    )
+    if h0 == len(levels):
+        return h0, 0, 0, (0, 0)
+    hms = levels[h0][1]
+    if any(lv[1] != hms for lv in levels[h0:]) or hms % 64 != 0:
+        return len(levels), 0, 0, (0, 0)
+    return h0, len(levels) - h0, hms, shifts[h0]
+
+
+def _pick_tb(R: int) -> int:
+    tb = min(1024, R)
+    while R % tb:
+        tb //= 2
+    return max(tb, 1)
+
+
+def _kernels_eligible(cfg: HashGridConfig) -> bool:
+    if cfg.level_dim != 2 or cfg.hash_scheme != "add":
+        return False
+    _, n_hash, _, _ = _hash_group(cfg)
+    return n_hash > 0
+
+
 def _roll_rows(x: jnp.ndarray, delta: int) -> jnp.ndarray:
     """Cyclic roll of the ROWS of a narrow (N, C) array, computed in a flat
     128-lane view when shapes allow.
@@ -343,6 +387,29 @@ def _fold_transpose(cfg: HashGridConfig, row0, u_vals, out_dtype):
         f"scatter_impl='fold' requires 8*level_dim to divide 128 "
         f"(level_dim={C} gives row width {W})"
     )
+    if cfg.fold_impl == "pallas" and _kernels_eligible(cfg):
+        return _fold_transpose_mixed(cfg, row0, u_vals, out_dtype)
+    blocks = _fold_xla_blocks(levels, shifts, row0, u_vals, C)
+    return jnp.concatenate(blocks, axis=0).astype(out_dtype)
+
+
+def _fold_xla_blocks(levels, shifts, row0, u_vals, C):
+    """The in-graph XLA fold for a list of levels: packed 128-lane scatter
+    + 8 narrow rolls per level. row0 (L, B) ABSOLUTE rows (master-table
+    offsets of the FULL schedule included); u_vals (L, B, 8C) f32.
+    Returns per-level (hms, C) f32 blocks.
+
+    NOTE (probe wave 6 + full-step A/B): in ISOLATION the narrow (hms, C)
+    rolls/adds cost 64x their logical traffic and a flat-wide rewrite
+    measured 164 -> 86 ms — but IN-GRAPH XLA fuses the narrow rolls into
+    shifted-read fusions and the wide rewrite's transposes act as fusion
+    barriers: full grids step 361 ms (narrow) vs 430 ms (wide). The narrow
+    form is kept for these levels; the uniform hashed group goes through
+    the 128-lane Pallas kernel instead (ops/pallas_fold.py).
+    """
+    if not levels:
+        return []
+    W = 8 * C
     P = 128 // W
     off8 = []
     t8 = 0
@@ -359,13 +426,6 @@ def _fold_transpose(cfg: HashGridConfig, row0, u_vals, out_dtype):
     U8 = jnp.zeros((t8, 128), jnp.float32).at[r8.reshape(-1)].add(
         placed, mode="promise_in_bounds"
     )
-    # Fold the 8 corner blocks back per level. NOTE (probe wave 6 + full-
-    # step A/B): in ISOLATION the narrow (hms, C) rolls/adds cost 64x their
-    # logical traffic and a flat-wide rewrite measured 164 -> 86 ms — but
-    # IN-GRAPH XLA fuses the narrow rolls into shifted-read fusions and the
-    # wide rewrite's transposes act as fusion barriers: full grids step
-    # 361 ms (narrow) vs 430 ms (wide). The narrow form is kept; trust only
-    # full-step measurements for layout changes.
     blocks = []
     for li, ((off, hms, _, _), (s1, s2)) in enumerate(zip(levels, shifts)):
         rows8 = (hms + P - 1) // P
@@ -375,29 +435,108 @@ def _fold_transpose(cfg: HashGridConfig, row0, u_vals, out_dtype):
         for q, dq in enumerate(_oct_deltas(s1, s2, hms)):
             d = d + jnp.roll(Ul[:, q * C:(q + 1) * C], dq, axis=0)
         blocks.append(d)
+    return blocks
+
+
+def _fold_transpose_mixed(cfg: HashGridConfig, row0, u_vals, out_dtype):
+    """Fold transpose with the uniform hashed tail on the Pallas kernel
+    (plane-permuted packed scatter + static lane-permute matmuls,
+    ops/pallas_fold.py) and the dense prefix on the XLA path."""
+    from .pallas_fold import fold_hash_levels, fold_plane_rows
+
+    C = cfg.level_dim
+    levels = cfg.level_params()
+    shifts = _level_shifts(cfg)
+    h0, n_hash, hms, (s1, s2) = _hash_group(cfg)
+
+    blocks = _fold_xla_blocks(
+        levels[:h0], shifts[:h0], row0[:h0], u_vals[:h0], C
+    )
+
+    R = hms // 64
+    rows8 = 8 * R
+    off_h = jnp.asarray([lv[0] for lv in levels[h0:]], jnp.int32)
+    local = row0[h0:] - off_h[:, None]  # (n_hash, B)
+    lih = jnp.arange(n_hash, dtype=jnp.int32)[:, None]
+    r8h = lih * rows8 + fold_plane_rows(local, hms)
+    oh = jax.nn.one_hot(local % 8, 8, dtype=jnp.float32)  # (n_hash, B, 8)
+    placed = jnp.einsum("lbp,lbw->lbpw", oh, u_vals[h0:]).reshape(-1, 128)
+    U8h = jnp.zeros((n_hash * rows8, 128), jnp.float32).at[
+        r8h.reshape(-1)
+    ].add(placed, mode="promise_in_bounds")
+    deltas = _oct_deltas(s1, s2, hms)
+    dh = fold_hash_levels(
+        U8h.reshape(n_hash, 8, R, 128), deltas, hms, tb=_pick_tb(R)
+    )
+    blocks.append(dh.reshape(n_hash * hms, C))
     return jnp.concatenate(blocks, axis=0).astype(out_dtype)
+
+
+def _build_quad_mixed(params: dict, cfg: HashGridConfig) -> jnp.ndarray:
+    """build_quad_table with the uniform hashed tail produced by the Pallas
+    build kernel (ops/pallas_fold.py) in the PLANE-PERMUTED row order
+    (quad_plane_row); dense levels keep the XLA roll construction. Only
+    valid together with permuted take rows (see _encode_quad)."""
+    from .pallas_fold import build_quad_hash
+
+    assert cfg.hash_scheme == "add"
+    emb = params["embeddings"]
+    if cfg.table_dtype != "float32":
+        emb = emb.astype(jnp.dtype(cfg.table_dtype))
+    levels = cfg.level_params()
+    shifts = _level_shifts(cfg)
+    h0, n_hash, hms, (s1, s2) = _hash_group(cfg)
+
+    blocks = []
+    for (off, lhms, _, _), (ls1, _) in zip(levels[:h0], shifts[:h0]):
+        blk = jax.lax.slice_in_dim(emb, off, off + lhms, axis=0)
+        blocks.append(
+            jnp.concatenate(
+                [
+                    blk,
+                    jnp.roll(blk, -1, axis=0),
+                    jnp.roll(blk, -(ls1 % lhms), axis=0),
+                    jnp.roll(blk, -((ls1 + 1) % lhms), axis=0),
+                ],
+                axis=-1,
+            )
+        )
+    off_h = levels[h0][0]
+    embh = jax.lax.slice_in_dim(emb, off_h, off_h + n_hash * hms, axis=0)
+    masterp = embh.reshape(n_hash, hms // 64, 128)
+    quad_h = build_quad_hash(
+        masterp, (0, 1, s1, s1 + 1), hms, tb=_pick_tb(hms // 64)
+    )
+    blocks.append(quad_h.reshape(n_hash * hms, 4 * cfg.level_dim))
+    return jnp.concatenate(blocks, axis=0)
 
 
 def _quad_take_fold(emb: jnp.ndarray, cfg: HashGridConfig, rows: jnp.ndarray):
     """Quad-table row gather whose transpose is the corner-affine FOLD
     scatter (_fold_transpose). ``rows``: (2, L, B) absolute quad-table rows
     (level offsets included), with ``rows[1] == rows[0] + s2`` cyclically
-    per level. ``linear_call`` keeps the op linear in ``emb`` so the eikonal
-    grad-of-grad still traces (transpose of the transpose is the gather) —
-    replacing the reference's hand-written second CUDA backward
+    per level — or (3, L, B) when build_impl='pallas': two PERMUTED take
+    rows (quad_plane_row order for hashed levels) plus the unpermuted base
+    row for the fold. ``linear_call`` keeps the op linear in ``emb`` so the
+    eikonal grad-of-grad still traces (transpose of the transpose is the
+    gather) — replacing the reference's hand-written second CUDA backward
     (hashencoder.cu:375-595).
     """
     from jax.custom_derivatives import linear_call
 
     L, C = cfg.num_levels, cfg.level_dim
+    use_pb = rows.shape[0] == 3
 
     def fwd(ix, e):
-        quad = build_quad_table({"embeddings": e}, cfg)
-        return jnp.take(quad, ix.reshape(-1), axis=0)
+        if use_pb:
+            quad = _build_quad_mixed({"embeddings": e}, cfg)
+        else:
+            quad = build_quad_table({"embeddings": e}, cfg)
+        return jnp.take(quad, ix[:2].reshape(-1), axis=0)
 
     def bwd(ix, ct):  # ct (2*L*B, 4C) -> d_emb (T, C) in emb dtype
         B = ct.shape[0] // (2 * L)
-        row0 = ix.reshape(2, L, B)[0]
+        row0 = ix[-1].reshape(L, B) if use_pb else ix.reshape(2, L, B)[0]
         ctr = ct.reshape(2, L, B, 4 * C)
         u_vals = jnp.concatenate([ctr[0], ctr[1]], axis=-1)  # (L, B, 8C)
         return _fold_transpose(cfg, row0, u_vals, emb.dtype)
@@ -498,9 +637,26 @@ def _encode_quad(params: dict, cfg: HashGridConfig, x01: jnp.ndarray):
         + pg[..., 2] * s2_arr[:, None]
     )  # (L,B)
     hms = hms_arr[:, None]
-    row0 = (base % hms).astype(jnp.int32) + off_arr[:, None]
-    row1 = ((base + s2_arr[:, None]) % hms).astype(jnp.int32) + off_arr[:, None]
-    rows = jnp.stack([row0, row1], axis=0)  # (2,L,B)
+    local0 = (base % hms).astype(jnp.int32)
+    local1 = ((base + s2_arr[:, None]) % hms).astype(jnp.int32)
+    off = off_arr[:, None]
+    use_pb = (
+        cfg.build_impl == "pallas"
+        and cfg.scatter_impl == "fold"
+        and _kernels_eligible(cfg)
+    )
+    if use_pb:
+        # hashed levels live in the Pallas build's plane-permuted row
+        # order; the take indices follow the same permutation
+        from .pallas_fold import quad_plane_row
+
+        h0, _, hmsh, _ = _hash_group(cfg)
+        hmask = (jnp.arange(L) >= h0)[:, None]
+        row0p = jnp.where(hmask, quad_plane_row(local0, hmsh), local0) + off
+        row1p = jnp.where(hmask, quad_plane_row(local1, hmsh), local1) + off
+        rows = jnp.stack([row0p, row1p, local0 + off], axis=0)  # (3,L,B)
+    else:
+        rows = jnp.stack([local0 + off, local1 + off], axis=0)  # (2,L,B)
 
     if cfg.scatter_impl in ("fold", "fold_pallas"):
         vals = _quad_take_fold(params["embeddings"], cfg, rows)

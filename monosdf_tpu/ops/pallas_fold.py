@@ -1,0 +1,300 @@
+"""Pallas kernels for the hash-grid fold backward and quad-table build.
+
+Round-3 profiling showed the corner-affine fold backward's XLA glue (the
+8 static per-level rolls over narrow (hms, C) table slices) costs ~100 ms
+of the 361 ms grids step, and the quad-table build another ~30 ms — both
+pure data movement that XLA executes through 2-of-128-lane views (the
+"narrow-lane disease" of CLAUDE.md, 64x physical traffic). These kernels
+do the same movement entirely in 128-lane form:
+
+* every logical shift becomes a STATIC 0/1 lane-permute matmul (the MXU is
+  the TPU's lane-shuffle engine) plus a row-offset,
+* the per-level fold accumulates into a small VMEM scratch (~4.5 MB),
+* the backward's scatter target uses a PHASE-PLANE row permutation
+  (cells with the same ``(cell//8) % 8`` land in one contiguous plane) so
+  every kernel read is a contiguous block — no strided slices, which
+  probe wave 7 measured as pathologically slow in Mosaic.
+
+Only the 2^19-hashmap levels go through the kernels (all hashed levels of
+the flagship schedule share hms AND the additive shifts, so one kernel
+instance serves all of them); dense levels keep the XLA path.
+
+Reference semantics being reproduced: the hand-written CUDA backward's
+per-corner atomicAdd accumulation (hashencoder.cu:257-343) and the
+forward's 8-corner lookup (hashencoder.cu:103-254) — here as the
+transpose/build of the corner-duplicated quad table (ops/hashgrid.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# =========================================================================
+# Row-index permutations (shared contract between scatter/gather and the
+# kernels; all pure index arithmetic on int32 arrays)
+# =========================================================================
+
+
+def fold_plane_rows(local, hms):
+    """Plane-permuted packed row for the fold scatter: cell ``local`` of a
+    level goes to plane ``(local//8) % 8``, in-plane row ``local//64``.
+    Returns the row within the level's (hms//8)-row block."""
+    R = hms // 64
+    return ((local // 8) % 8) * R + local // 64
+
+
+def quad_plane_row(local, hms):
+    """Permuted quad-table row (in the level's hms-row block) under the
+    4-plane build layout: cell j at plane (j//16)%4, in-plane row j//64,
+    slot j%16."""
+    return ((local // 16) % 4) * (hms // 4) + (local // 64) * 16 + local % 16
+
+
+# =========================================================================
+# Static matrix builders
+# =========================================================================
+
+
+@functools.lru_cache(maxsize=8)
+def _fold_groups(deltas, hms):
+    """For each input plane p, the list of (row_offset, matrix_index) pairs
+    plus the stacked (G, 128, 128) f32 matrices implementing
+
+        d[j, c] = sum_q U[(j - dq) mod hms, 16*(cell%8-of-source) + 2q + c]
+
+    (the scatter puts each update at its BASE cell; corner q's block folds
+    back to cell b + dq, so output cell j reads source cell j - dq) on the
+    plane-separated packed input (see module docstring).
+    Output row = in-plane row + Delta (mod hms//64)."""
+    R = hms // 64
+    acc: dict[tuple[int, int], np.ndarray] = {}
+    for q, dq in enumerate(deltas):
+        A, phi = divmod((-int(dq)) % hms, 8)
+        for l in range(128):
+            u, c = divmod(l, 2)
+            beta = (u + phi) // 8
+            k = (u + phi) % 8
+            sigma = 16 * k + 2 * q + c
+            p = (A + beta) % 8
+            delta = (-((A + beta) // 8)) % R
+            key = (p, delta)
+            if key not in acc:
+                acc[key] = np.zeros((128, 128), np.float32)
+            acc[key][sigma, l] += 1.0
+    keys = sorted(acc.keys())
+    mats = np.stack([acc[k] for k in keys])
+    plane_items = [[] for _ in range(8)]
+    for gi, (p, delta) in enumerate(keys):
+        plane_items[p].append((delta, gi))
+    return plane_items, mats
+
+
+@functools.lru_cache(maxsize=8)
+def _build_groups(corner_deltas, hms):
+    """For the quad build: out plane m, lane l = 8*k' + 2*delta_corner + c
+    reads master flat position 2*(cell + d_corner) + c. Groups keyed by the
+    source-row offset t = d//64 + carry; matrices (t, m) -> (128, 128)."""
+    acc: dict[tuple[int, int], np.ndarray] = {}
+    for delta_c, d in enumerate(corner_deltas):
+        d = int(d) % hms
+        A, phi = divmod(d, 64)
+        for m in range(4):
+            for kp in range(16):
+                for c in range(2):
+                    l = 8 * kp + 2 * delta_c + c
+                    val = 32 * m + 2 * kp + 2 * phi + c
+                    eps, sigma = divmod(val, 128)
+                    t = A + eps
+                    key = (t, m)
+                    if key not in acc:
+                        acc[key] = np.zeros((128, 128), np.float32)
+                    acc[key][sigma, l] += 1.0
+    keys = sorted(acc.keys())
+    mats = np.stack([acc[k] for k in keys])
+    items = [(t, m, gi) for gi, (t, m) in enumerate(keys)]
+    return items, mats
+
+
+# =========================================================================
+# Fold kernel: plane-separated packed scatter table -> per-level gradient
+# =========================================================================
+
+
+def fold_hash_levels(u8h: jnp.ndarray, deltas, hms: int, tb: int = 1024,
+                     interpret: bool | None = None) -> jnp.ndarray:
+    """u8h: (n_levels, 8, hms//64, 128) f32 — the plane-permuted packed
+    scatter output for the uniform-hms hashed levels. Returns
+    (n_levels, hms//64, 128) f32: the packed per-level table gradient
+    (flat view of (hms, 2) per level).
+
+    Grid iterates (level, in-plane tile); each step sees the SAME tile
+    offset of all 8 planes (one 4-D block), so the per-plane matrix lists
+    stay static. Accumulation lives in a (R + tb, 128) VMEM scratch with a
+    cyclic tail that folds back at the last tile of each level.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    n_levels = u8h.shape[0]
+    R = hms // 64
+    assert u8h.shape == (n_levels, 8, R, 128), u8h.shape
+    assert R % tb == 0, (R, tb)
+    n_tiles = R // tb
+    plane_items, mats_np = _fold_groups(tuple(int(d) for d in deltas), hms)
+    mats = jnp.asarray(mats_np)
+
+    def kernel(u_ref, m_ref, out_ref, acc):
+        i = pl.program_id(0)
+        j = i % n_tiles
+        o0 = j * tb
+
+        @pl.when(j == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        for p in range(8):
+            blk = u_ref[0, p]
+            for delta, gi in plane_items[p]:
+                contrib = jax.lax.dot(
+                    blk, m_ref[gi], preferred_element_type=jnp.float32
+                )
+                start = jax.lax.rem(o0 + delta, R)
+                cur = acc[pl.ds(start, tb), :]
+                acc[pl.ds(start, tb), :] = cur + contrib
+
+        @pl.when(j == n_tiles - 1)
+        def _():
+            head = acc[pl.ds(0, tb), :] + acc[pl.ds(R, tb), :]
+            acc[pl.ds(0, tb), :] = head
+            out_ref[0] = acc[pl.ds(0, R), :]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_levels * n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 8, tb, 128),
+                lambda i: (i // n_tiles, 0, i % n_tiles, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, R, 128),
+            lambda i: (i // n_tiles, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_levels, R, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((R + tb, 128), jnp.float32)],
+        interpret=interpret,
+    )(u8h, mats)
+
+
+def fold_hash_levels_xla(u8h, deltas, hms):
+    """Pure-jnp oracle for fold_hash_levels (tests only).
+
+    u8h[lv, p, w, 16*k + ch] holds channel ch of cell 64*w + 8*p + k;
+    the fold is d[j, c] = sum_q U[(j - dq) % hms, 2q + c].
+    """
+    n_levels = u8h.shape[0]
+    R = hms // 64
+    out = []
+    for lv in range(n_levels):
+        U = (
+            u8h[lv]
+            .reshape(8, R, 8, 16)
+            .transpose(1, 0, 2, 3)  # [w, p, k, ch]
+            .reshape(hms, 16)
+        )
+        d = jnp.zeros((hms, 2), jnp.float32)
+        for q, dq in enumerate(deltas):
+            d = d + jnp.roll(U[:, 2 * q:2 * q + 2], int(dq) % hms, axis=0)
+        out.append(d.reshape(R, 128))
+    return jnp.stack(out)
+
+
+def build_quad_hash_xla(masterp, corner_deltas, hms):
+    """Pure-jnp oracle for build_quad_hash (tests only)."""
+    n_levels = masterp.shape[0]
+    R = hms // 64
+    out = []
+    for lv in range(n_levels):
+        T = masterp[lv].reshape(hms, 2)
+        quad = jnp.concatenate(
+            [jnp.roll(T, -(int(d) % hms), axis=0) for d in corner_deltas],
+            axis=-1,
+        )  # (hms, 8): cell j -> [T[j], T[j+1], T[j+s1], T[j+s1+1]]
+        j = np.arange(hms)
+        perm = quad_plane_row(j, hms)
+        planes = jnp.zeros((hms, 8), quad.dtype).at[perm].set(quad)
+        out.append(planes.reshape(4, R, 128))
+    return jnp.stack(out)
+
+
+# =========================================================================
+# Quad-build kernel: packed master level -> 4-plane quad table
+# =========================================================================
+
+
+def build_quad_hash(masterp: jnp.ndarray, corner_deltas, hms: int,
+                    tb: int = 1024, interpret: bool | None = None) -> jnp.ndarray:
+    """masterp: (n_levels, hms//64, 128) table-dtype — packed flat view of
+    the (hms, 2) master table per hashed level. Returns
+    (n_levels, 4, hms//64, 128): the plane-permuted packed quad table
+    (cell j of plane (j//16)%4 at in-plane row j//64, lanes 8*(j%16)+ch).
+
+    corner_deltas: the 4 quad corner offsets (0, 1, s1, s1+1).
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    n_levels = masterp.shape[0]
+    R = hms // 64
+    assert masterp.shape == (n_levels, R, 128), masterp.shape
+    assert R % tb == 0
+    n_tiles = R // tb
+    items, mats_np = _build_groups(tuple(int(d) for d in corner_deltas), hms)
+    dt = masterp.dtype
+    mats = jnp.asarray(mats_np, dt)
+
+    # extend each level by tb rows (cyclic head) so shifted reads stay
+    # in-bounds: start = (o0 + t) % R, window tb <= R + tb
+    ext = jnp.concatenate([masterp, masterp[:, :tb]], axis=1)
+
+    def kernel(m_ref, w_ref, out_ref):
+        i = pl.program_id(0)
+        o0 = (i % n_tiles) * tb
+        planes = [jnp.zeros((tb, 128), jnp.float32) for _ in range(4)]
+        for t, m, gi in items:
+            start = jax.lax.rem(o0 + t, R)
+            window = m_ref[0, pl.ds(start, tb), :]
+            planes[m] = planes[m] + jax.lax.dot(
+                window, w_ref[gi], preferred_element_type=jnp.float32
+            )
+        for m in range(4):
+            out_ref[0, m] = planes[m].astype(out_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_levels * n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, R + tb, 128),
+                lambda i: (i // n_tiles, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, tb, 128),
+            lambda i: (i // n_tiles, 0, i % n_tiles, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_levels, 4, R, 128), dt),
+        interpret=interpret,
+    )(ext, mats)
