@@ -295,7 +295,9 @@ def _hash_group(cfg: HashGridConfig):
 
 
 def _pick_tb(R: int) -> int:
-    tb = min(1024, R)
+    # 512 keeps the fold kernel's resident set (extended out block + 8-plane
+    # input tile + matrices) comfortably under the v5e's 16 MB VMEM
+    tb = min(512, R)
     while R % tb:
         tb //= 2
     return max(tb, 1)

@@ -127,7 +127,7 @@ def _build_groups(corner_deltas, hms):
 # =========================================================================
 
 
-def fold_hash_levels(u8h: jnp.ndarray, deltas, hms: int, tb: int = 1024,
+def fold_hash_levels(u8h: jnp.ndarray, deltas, hms: int, tb: int = 512,
                      interpret: bool | None = None) -> jnp.ndarray:
     """u8h: (n_levels, 8, hms//64, 128) f32 — the plane-permuted packed
     scatter output for the uniform-hms hashed levels. Returns
@@ -136,8 +136,10 @@ def fold_hash_levels(u8h: jnp.ndarray, deltas, hms: int, tb: int = 1024,
 
     Grid iterates (level, in-plane tile); each step sees the SAME tile
     offset of all 8 planes (one 4-D block), so the per-plane matrix lists
-    stay static. Accumulation lives in a (R + tb, 128) VMEM scratch with a
-    cyclic tail that folds back at the last tile of each level.
+    stay static. The OUTPUT block (extended by tb cyclic-tail rows) is the
+    accumulator — VMEM is only 16 MB on the v5e, so a separate full-level
+    scratch plus a resident out block doesn't fit; the tail fold happens in
+    two wide XLA adds after the call.
     """
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
@@ -149,32 +151,36 @@ def fold_hash_levels(u8h: jnp.ndarray, deltas, hms: int, tb: int = 1024,
     plane_items, mats_np = _fold_groups(tuple(int(d) for d in deltas), hms)
     mats = jnp.asarray(mats_np)
 
-    def kernel(u_ref, m_ref, out_ref, acc):
+    def kernel(u_ref, m_ref, out_ref):
         i = pl.program_id(0)
         j = i % n_tiles
         o0 = j * tb
 
         @pl.when(j == 0)
         def _():
-            acc[:] = jnp.zeros_like(acc)
+            out_ref[:] = jnp.zeros_like(out_ref)
 
+        zpad = jnp.zeros((8, 128), jnp.float32)
         for p in range(8):
             blk = u_ref[0, p]
             for delta, gi in plane_items[p]:
                 contrib = jax.lax.dot(
                     blk, m_ref[gi], preferred_element_type=jnp.float32
                 )
-                start = jax.lax.rem(o0 + delta, R)
-                cur = acc[pl.ds(start, tb), :]
-                acc[pl.ds(start, tb), :] = cur + contrib
+                # Mosaic requires dynamic sublane starts provably 8-aligned
+                # (f32 tiling): split delta into an aligned base plus a
+                # static residual applied as a sublane roll of the padded
+                # contribution (the pad rows land where the roll wraps)
+                rho = delta % 8
+                start8 = 8 * jax.lax.rem((o0 + delta - rho) // 8, R // 8)
+                start8 = pl.multiple_of(start8, 8)
+                buf = jnp.concatenate([contrib, zpad], axis=0)
+                if rho:
+                    buf = pltpu.roll(buf, rho, axis=0)
+                cur = out_ref[0, pl.ds(start8, tb + 8), :]
+                out_ref[0, pl.ds(start8, tb + 8), :] = cur + buf
 
-        @pl.when(j == n_tiles - 1)
-        def _():
-            head = acc[pl.ds(0, tb), :] + acc[pl.ds(R, tb), :]
-            acc[pl.ds(0, tb), :] = head
-            out_ref[0] = acc[pl.ds(0, R), :]
-
-    return pl.pallas_call(
+    ext = pl.pallas_call(
         kernel,
         grid=(n_levels * n_tiles,),
         in_specs=[
@@ -186,14 +192,15 @@ def fold_hash_levels(u8h: jnp.ndarray, deltas, hms: int, tb: int = 1024,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, R, 128),
+            (1, R + tb, 128),
             lambda i: (i // n_tiles, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n_levels, R, 128), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((R + tb, 128), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((n_levels, R + tb, 128), jnp.float32),
         interpret=interpret,
     )(u8h, mats)
+    head = ext[:, :tb] + ext[:, R:R + tb]
+    return jnp.concatenate([head, ext[:, tb:R]], axis=1)
 
 
 def fold_hash_levels_xla(u8h, deltas, hms):
@@ -260,19 +267,30 @@ def build_quad_hash(masterp: jnp.ndarray, corner_deltas, hms: int,
     n_tiles = R // tb
     items, mats_np = _build_groups(tuple(int(d) for d in corner_deltas), hms)
     dt = masterp.dtype
-    mats = jnp.asarray(mats_np, dt)
+    # matrices stay f32: the window is cast to f32 in-kernel anyway
+    # (Mosaic cannot rotate non-32-bit data)
+    mats = jnp.asarray(mats_np)
 
-    # extend each level by tb rows (cyclic head) so shifted reads stay
-    # in-bounds: start = (o0 + t) % R, window tb <= R + tb
-    ext = jnp.concatenate([masterp, masterp[:, :tb]], axis=1)
+    # extend each level by tb+8 rows (cyclic head) so shifted reads stay
+    # in-bounds: aligned start <= R-8, window tb+8 <= R + tb
+    ext = jnp.concatenate([masterp, masterp[:, :tb + 8]], axis=1)
 
     def kernel(m_ref, w_ref, out_ref):
         i = pl.program_id(0)
         o0 = (i % n_tiles) * tb
         planes = [jnp.zeros((tb, 128), jnp.float32) for _ in range(4)]
         for t, m, gi in items:
-            start = jax.lax.rem(o0 + t, R)
-            window = m_ref[0, pl.ds(start, tb), :]
+            # aligned dynamic read + static sublane roll (see fold kernel)
+            rho = t % 8
+            start8 = 8 * jax.lax.rem((o0 + t - rho) // 8, R // 8)
+            start8 = pl.multiple_of(start8, 8)
+            window = m_ref[0, pl.ds(start8, tb + 8), :].astype(jnp.float32)
+            if rho:
+                # cyclic roll by (size - rho) == roll by -rho; the wrapped
+                # head rows land past row tb and are sliced away. f32 cast
+                # first: Mosaic cannot rotate non-32-bit data.
+                window = pltpu.roll(window, tb + 8 - rho, axis=0)
+            window = window[:tb]
             planes[m] = planes[m] + jax.lax.dot(
                 window, w_ref[gi], preferred_element_type=jnp.float32
             )

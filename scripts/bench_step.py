@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--hash_scheme", default="xor", help="xor|add (grid mode)")
     ap.add_argument("--layout", default="rows",
                     help="gather layout: rows|quad (grid mode; quad needs add)")
+    ap.add_argument("--fold_impl", default="xla",
+                    help="fold backward glue: xla|pallas (grid mode)")
+    ap.add_argument("--build_impl", default="xla",
+                    help="quad-table build: xla|pallas (grid mode)")
     ap.add_argument("--f32", action="store_true", help="disable mixed precision")
     ap.add_argument("--nofold", action="store_true", help="separate eikonal kernel call")
     ap.add_argument("--nofused_opt", action="store_true", help="per-leaf optax.adam")
@@ -62,6 +66,7 @@ def main():
                 log2_hashmap_size=19, desired_resolution=2048,
                 table_dtype=args.table_dtype, scatter_impl=args.scatter,
                 hash_scheme=args.hash_scheme, layout=args.layout,
+                fold_impl=args.fold_impl, build_impl=args.build_impl,
             ),
             divide_factor=1.1, sdf_bounding_sphere=0.0,
         )
