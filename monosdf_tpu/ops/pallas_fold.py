@@ -149,7 +149,13 @@ def fold_hash_levels(u8h: jnp.ndarray, deltas, hms: int, tb: int = 512,
     assert R % tb == 0, (R, tb)
     n_tiles = R // tb
     plane_items, mats_np = _fold_groups(tuple(int(d) for d in deltas), hms)
-    mats = jnp.asarray(mats_np)
+    # pack each plane's matrices side by side for the one-wide-matmul form
+    max_g = max(len(v) for v in plane_items) if plane_items else 1
+    wide_np = np.zeros((8, 128, max_g * 128), np.float32)
+    for p, items_p in enumerate(plane_items):
+        for s, (_, gi) in enumerate(items_p):
+            wide_np[p, :, 128 * s:128 * (s + 1)] = mats_np[gi]
+    mats = jnp.asarray(wide_np)
 
     def kernel(u_ref, m_ref, out_ref):
         i = pl.program_id(0)
@@ -163,10 +169,17 @@ def fold_hash_levels(u8h: jnp.ndarray, deltas, hms: int, tb: int = 512,
         zpad = jnp.zeros((8, 128), jnp.float32)
         for p in range(8):
             blk = u_ref[0, p]
-            for delta, gi in plane_items[p]:
-                contrib = jax.lax.dot(
-                    blk, m_ref[gi], preferred_element_type=jnp.float32
-                )
+            n_g = len(plane_items[p])
+            if not n_g:
+                continue
+            # ONE wide matmul per plane (K=128, N=n_g*128 keeps the MXU
+            # busy; n_g separate (tb,128)@(128,128) calls do not), then
+            # n_g shifted accumulations of its lane slices
+            contribs = jax.lax.dot(
+                blk, m_ref[p], preferred_element_type=jnp.float32
+            )
+            for s, (delta, _) in enumerate(plane_items[p]):
+                contrib = contribs[:, 128 * s:128 * (s + 1)]
                 # Mosaic requires dynamic sublane starts provably 8-aligned
                 # (f32 tiling): split delta into an aligned base plus a
                 # static residual applied as a sublane roll of the padded
@@ -267,9 +280,19 @@ def build_quad_hash(masterp: jnp.ndarray, corner_deltas, hms: int,
     n_tiles = R // tb
     items, mats_np = _build_groups(tuple(int(d) for d in corner_deltas), hms)
     dt = masterp.dtype
-    # matrices stay f32: the window is cast to f32 in-kernel anyway
-    # (Mosaic cannot rotate non-32-bit data)
-    mats = jnp.asarray(mats_np)
+    # regroup by source-row offset t and pack the 4 output planes' matrices
+    # side by side: one wide matmul per window. Matrices stay f32 (the
+    # window is cast to f32 in-kernel anyway — Mosaic cannot rotate
+    # non-32-bit data).
+    by_t: dict[int, list] = {}
+    for t, m, gi in items:
+        by_t.setdefault(t, []).append((m, gi))
+    tlist = sorted(by_t)
+    wide_np = np.zeros((len(tlist), 128, 512), np.float32)
+    for ti, t in enumerate(tlist):
+        for m, gi in by_t[t]:
+            wide_np[ti, :, 128 * m:128 * (m + 1)] = mats_np[gi]
+    mats = jnp.asarray(wide_np)
 
     # extend each level by tb+8 rows (cyclic head) so shifted reads stay
     # in-bounds: aligned start <= R-8, window tb+8 <= R + tb
@@ -279,7 +302,7 @@ def build_quad_hash(masterp: jnp.ndarray, corner_deltas, hms: int,
         i = pl.program_id(0)
         o0 = (i % n_tiles) * tb
         planes = [jnp.zeros((tb, 128), jnp.float32) for _ in range(4)]
-        for t, m, gi in items:
+        for ti, t in enumerate(tlist):
             # aligned dynamic read + static sublane roll (see fold kernel)
             rho = t % 8
             start8 = 8 * jax.lax.rem((o0 + t - rho) // 8, R // 8)
@@ -291,9 +314,13 @@ def build_quad_hash(masterp: jnp.ndarray, corner_deltas, hms: int,
                 # first: Mosaic cannot rotate non-32-bit data.
                 window = pltpu.roll(window, tb + 8 - rho, axis=0)
             window = window[:tb]
-            planes[m] = planes[m] + jax.lax.dot(
-                window, w_ref[gi], preferred_element_type=jnp.float32
+            # one (tb,128)@(128,512) matmul per source window covers all 4
+            # output planes (absent (t, m) pairs are zero columns)
+            prod = jax.lax.dot(
+                window, w_ref[ti], preferred_element_type=jnp.float32
             )
+            for m in range(4):
+                planes[m] = planes[m] + prod[:, 128 * m:128 * (m + 1)]
         for m in range(4):
             out_ref[0, m] = planes[m].astype(out_ref.dtype)
 
