@@ -8,6 +8,7 @@ QUALITY.md. This gate keeps the end-to-end loss surface honest per-commit.
 """
 
 import json
+from pathlib import Path
 import os
 import sys
 
@@ -60,8 +61,27 @@ class TestQualityGate:
         tail = rows[-5:]
         psnr = float(np.mean([r["psnr"] for r in tail]))
         loss = float(np.mean([r["loss"] for r in tail]))
-        assert psnr >= 13.0, f"train PSNR {psnr:.2f} < 13 after 600 iters"
-        assert loss <= 0.15, f"train loss {loss:.3f} > 0.15 after 600 iters"
+        # Band around the COMMITTED 20k-iter TPU evidence curve
+        # (docs/quality/results.json) rather than loose fixed constants —
+        # a ~2x quality regression at iter 600 now fails CI (VERDICT r3
+        # weak #7). The CPU gate runs 256 rays vs the evidence run's 1024
+        # and a 64px scene vs 96px, hence the generous 1.6x / -3 dB band.
+        curve = json.load(
+            open(Path(__file__).parent.parent / "docs/quality/results.json")
+        )["curve"]
+        ref = max(
+            (r for r in curve if r["iter"] <= 600), key=lambda r: r["iter"]
+        )
+        loss_bound = 1.6 * ref["loss"]
+        psnr_bound = ref["psnr"] - 3.0
+        assert psnr >= psnr_bound, (
+            f"train PSNR {psnr:.2f} < curve@{ref['iter']} - 3dB "
+            f"({psnr_bound:.2f}) after 600 iters"
+        )
+        assert loss <= loss_bound, (
+            f"train loss {loss:.3f} > 1.6x curve@{ref['iter']} "
+            f"({loss_bound:.3f}) after 600 iters"
+        )
         assert rows[0]["loss"] > 2 * loss, "loss did not descend"
 
     def test_geometry_approaches_gt_sphere(self, trained_run):
