@@ -59,13 +59,12 @@ class HashGridConfig:
     # exact encoding. 'c64' (both channels packed into one complex64 row)
     # measured 1910 ms — XLA decomposes complex scatters pathologically —
     # and is kept only as a correctness-tested curiosity.
-    # 'fold' / 'fold_pallas' (quad layout only): the corner-AFFINE backward —
-    # one (8C)-channel row per (point, level) at the base cell index, folded
-    # with 8 static per-level rolls (see _quad_take_fold). 'fold' scatters
-    # that row stream with XLA; 'fold_pallas' accumulates it in a VMEM-
-    # resident Pallas RMW kernel (ops/pallas_hash_scatter.py). Both are 8x
-    # fewer scatter rows than the per-corner encodings and keep the whole
-    # gradient path in f32 even for bf16 tables.
+    # 'fold' (quad/oct layouts only): the corner-AFFINE backward — one
+    # (8C)-channel row per (point, level) at the base cell index, folded
+    # with 8 static per-level rolls (see _quad_take_fold) — 8x fewer
+    # scatter rows than the per-corner encodings, f32 gradients even for
+    # bf16 tables. (The round-3 'fold_pallas' VMEM-RMW variant measured
+    # 330 ns/update and was removed in round 4; see PERFORMANCE.md.)
     scatter_impl: str = "flat"
     # Corner-index scheme. 'xor' is the reference hash (hashencoder.cu:54-72).
     # 'add' replaces the xor mix with ``x + y*P1 + z*P2 (mod hms)`` — for
@@ -361,27 +360,21 @@ def _fold_transpose(cfg: HashGridConfig, row0, u_vals, out_dtype):
     ~120 ns/row at 16 channels but ~37 ns/row at 128 — so pack
     P = 128/(8C) logical table rows per physical row, pre-place each
     update's 8C channels at lane offset 8C*(local % P), and scatter one
-    (N, 128) f32 row at packed row local//P. (The Pallas VMEM-RMW variant
-    measured 330 ns/update — kept as scatter_impl='fold_pallas' for the
-    record.) Accumulation is f32 end-to-end even for bf16 tables.
+    (N, 128) f32 row at packed row local//P. (The round-3 Pallas VMEM-RMW
+    variant measured 330 ns/update and was removed in round 4 —
+    PERFORMANCE.md keeps the record.) Accumulation is f32 end-to-end even
+    for bf16 tables.
     """
     L, C = cfg.num_levels, cfg.level_dim
     levels = cfg.level_params()
     shifts = _level_shifts(cfg)
     if cfg.scatter_impl == "fold_pallas":
-        from .pallas_hash_scatter import fold_scatter_table
-
-        # ship update rows at the cotangent dtype (bf16 when the table is
-        # bf16 — halves the DMA); the kernel accumulates in f32
-        U = fold_scatter_table(row0, u_vals, cfg)
-        blocks = []
-        for (off, hms, _, _), (s1, s2) in zip(levels, shifts):
-            Ul = jax.lax.slice_in_dim(U, off, off + hms, axis=0)
-            d = jnp.zeros((hms, C), jnp.float32)
-            for q, dq in enumerate(_oct_deltas(s1, s2, hms)):
-                d = d + _roll_rows(Ul[:, q * C:(q + 1) * C], dq)
-            blocks.append(d)
-        return jnp.concatenate(blocks, axis=0).astype(out_dtype)
+        raise ValueError(
+            "scatter_impl='fold_pallas' (the Pallas VMEM-RMW scatter, "
+            "measured 330 ns/update) was removed in round 4 — superseded "
+            "by fold_impl='pallas' (ops/pallas_fold.py); record in "
+            "PERFORMANCE.md"
+        )
 
     u_vals = u_vals.astype(jnp.float32)
     W = 8 * C
@@ -660,7 +653,7 @@ def _encode_quad(params: dict, cfg: HashGridConfig, x01: jnp.ndarray):
     else:
         rows = jnp.stack([local0 + off, local1 + off], axis=0)  # (2,L,B)
 
-    if cfg.scatter_impl in ("fold", "fold_pallas"):
+    if cfg.scatter_impl == "fold":
         vals = _quad_take_fold(params["embeddings"], cfg, rows)
     else:
         quad = build_quad_table(params, cfg)
@@ -703,7 +696,7 @@ def _encode_oct(params: dict, cfg: HashGridConfig, x01: jnp.ndarray):
     )  # (L,B)
     rows = (base % hms_arr[:, None]).astype(jnp.int32) + off_arr[:, None]
 
-    if cfg.scatter_impl in ("fold", "fold_pallas"):
+    if cfg.scatter_impl == "fold":
         vals = _oct_take_fold(params["embeddings"], cfg, rows)
     else:
         oct_t = build_oct_table(params, cfg)
@@ -741,7 +734,7 @@ def hash_encode_01(params: dict, cfg: HashGridConfig, x01: jnp.ndarray) -> jnp.n
     if cfg.layout == "oct":
         return _encode_oct(params, cfg, x01)
     assert cfg.layout == "rows", cfg.layout
-    if cfg.scatter_impl in ("fold", "fold_pallas"):
+    if cfg.scatter_impl == "fold":
         raise ValueError("scatter_impl='fold*' requires layout='quad'/'oct'")
 
     emb = params["embeddings"]

@@ -25,13 +25,19 @@ def main():
     ap.add_argument("--radius", type=float, default=0.5)
     ap.add_argument("--cam_dist", type=float, default=1.5)
     ap.add_argument(
-        "--shape", default="sphere", choices=("sphere", "torus"),
-        help="sphere (analytic intersection) or genus-1 torus "
-        "(sphere-traced; exercises marching-tets topology and concave "
-        "cue supervision)",
+        "--shape", default="sphere", choices=("sphere", "torus", "union"),
+        help="sphere (analytic intersection), genus-1 torus (sphere-"
+        "traced; exercises marching-tets topology and concave cue "
+        "supervision), or union: a TEXTURED sphere+torus multi-object "
+        "scene with per-image exposure jitter — exercises appearance "
+        "codes, the fg mask on disjoint components, and view-consistent "
+        "albedo variation that two Lambertian solids cannot "
+        "(reference protocol analog: replica_eval/eval_recon.py:109-179)",
     )
     ap.add_argument("--torus_R", type=float, default=0.4)
     ap.add_argument("--torus_r", type=float, default=0.15)
+    ap.add_argument("--exposure_jitter", type=float, default=0.15,
+                    help="union shape: per-image exposure scale amplitude")
     args = ap.parse_args()
 
     from monosdf_tpu.data.synthetic import _look_at
@@ -51,6 +57,61 @@ def main():
         k = (rho - args.torus_R) / rho
         n = np.stack([k * p[..., 0], p[..., 1], k * p[..., 2]], -1)
         return n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+
+    # union scene: small sphere next to a small torus (both inside the
+    # unit ball), textured
+    U_SPH_C = np.array([-0.32, 0.05, 0.0])
+    U_SPH_R = 0.28
+    U_TOR_C = np.array([0.3, -0.02, 0.0])
+    U_TOR_R, U_TOR_r = 0.26, 0.11
+
+    def union_sdf(p):
+        ds = np.linalg.norm(p - U_SPH_C, axis=-1) - U_SPH_R
+        q = p - U_TOR_C
+        rho = np.sqrt(q[..., 0] ** 2 + q[..., 1] ** 2)  # torus axis = z
+        dt = np.sqrt((rho - U_TOR_R) ** 2 + q[..., 2] ** 2) - U_TOR_r
+        return np.minimum(ds, dt)
+
+    def union_normal(p):
+        ds = np.linalg.norm(p - U_SPH_C, axis=-1) - U_SPH_R
+        q = p - U_TOR_C
+        rho = np.maximum(
+            np.sqrt(q[..., 0] ** 2 + q[..., 1] ** 2), 1e-9
+        )
+        dt = np.sqrt((rho - U_TOR_R) ** 2 + q[..., 2] ** 2) - U_TOR_r
+        ns = (p - U_SPH_C) / np.maximum(
+            np.linalg.norm(p - U_SPH_C, axis=-1, keepdims=True), 1e-9
+        )
+        k = (rho - U_TOR_R) / rho
+        nt = np.stack([k * q[..., 0], k * q[..., 1], q[..., 2]], -1)
+        nt = nt / np.maximum(np.linalg.norm(nt, axis=-1, keepdims=True), 1e-9)
+        return np.where((ds < dt)[..., None], ns, nt)
+
+    def union_albedo(p):
+        """View-consistent procedural texture: smooth tri-axis stripes on
+        the sphere, a checker on the torus — strong albedo variation that
+        the radiance net must explain with position, not view direction."""
+        ds = np.linalg.norm(p - U_SPH_C, axis=-1) - U_SPH_R
+        q = p - U_TOR_C
+        rho = np.sqrt(q[..., 0] ** 2 + q[..., 1] ** 2)
+        dt = np.sqrt((rho - U_TOR_R) ** 2 + q[..., 2] ** 2) - U_TOR_r
+        stripes = 0.5 + 0.45 * np.sin(22.0 * p[..., 0]) * np.sin(
+            19.0 * p[..., 1] + 1.3
+        )
+        a_sph = np.stack(
+            [0.2 + 0.7 * stripes, 0.25 + 0.3 * stripes, 0.85 - 0.5 * stripes],
+            -1,
+        )
+        check = (
+            np.floor(np.arctan2(q[..., 1], q[..., 0]) / (np.pi / 6))
+            + np.floor(np.arctan2(q[..., 2], rho - U_TOR_R) / (np.pi / 4))
+        ) % 2
+        a_tor = np.where(
+            check[..., None],
+            np.array([0.85, 0.75, 0.2]),
+            np.array([0.15, 0.5, 0.35]),
+        )
+        return np.where((ds < dt)[..., None], a_sph, a_tor)
 
     scene = os.path.join(args.out_root, f"{args.shape}_scene")
     for sub in ("Image", "depth", "normal", "ImMask"):
@@ -95,19 +156,31 @@ def main():
             normal_world = pts / np.maximum(
                 np.linalg.norm(pts, axis=-1, keepdims=True), 1e-9
             )
-        else:  # torus: sphere-trace the SDF
+        else:  # torus/union: sphere-trace the SDF
+            sdf = torus_sdf if args.shape == "torus" else union_sdf
+            nrm = torus_normal if args.shape == "torus" else union_normal
             t = np.zeros(dirs_world.shape[:2])
             t_max = 2.0 * args.cam_dist
             for _ in range(192):
-                s = torus_sdf(o + t[..., None] * dirs_world)
+                s = sdf(o + t[..., None] * dirs_world)
                 t = np.minimum(t + np.maximum(s, 0.0), t_max)
             pts = o + t[..., None] * dirs_world
-            hit = (torus_sdf(pts) < 2e-3) & (t < t_max - 1e-3)
+            hit = (sdf(pts) < 2e-3) & (t < t_max - 1e-3)
             t = np.where(hit, t, 0.0)
             pts = o + t[..., None] * dirs_world
-            normal_world = torus_normal(pts)
+            normal_world = nrm(pts)
         lambert = np.clip(np.einsum("hwc,c->hw", normal_world, -light), 0.05, 1.0)
-        rgb = np.stack([lambert * 0.9, lambert * 0.6, lambert * 0.4], -1)
+        if args.shape == "union":
+            # ambient + diffuse so every view carries texture signal, plus
+            # deterministic per-image exposure jitter (what the per-image
+            # appearance codes must absorb, network.py per_image_code path)
+            shade = 0.35 + 0.65 * np.clip(
+                np.einsum("hwc,c->hw", normal_world, -light), 0.0, 1.0
+            )
+            expo = 1.0 + args.exposure_jitter * np.sin(2.7 * i + 0.9)
+            rgb = np.clip(union_albedo(pts) * shade[..., None] * expo, 0, 1)
+        else:
+            rgb = np.stack([lambert * 0.9, lambert * 0.6, lambert * 0.4], -1)
         rgb = np.where(hit[..., None], rgb, 1.0)
 
         # GT-layout depth cue in RENDERED-depth units (camera-frame z-depth;

@@ -212,7 +212,8 @@ def main():
 
 if __name__ == "__main__" and not any(
     w in sys.argv
-    for w in ("--wave2", "--wave3", "--wave4", "--wave5", "--wave6", "--wave7")
+    for w in ("--wave2", "--wave3", "--wave4", "--wave5", "--wave6", "--wave7",
+       "--wave8")
 ):
     main()
 
@@ -958,4 +959,66 @@ def main7():
 
 if __name__ == "__main__" and "--wave7" in sys.argv:
     main7()
+    sys.exit(0)
+
+
+def main8():
+    """Eighth wave: Mosaic dynamic_gather (VMEM sublane gather) rates at
+    LARGE operand heights with row-broadcast indices — the primitive that
+    would let sweep gathers stream each level's table through VMEM at full
+    HBM bandwidth instead of paying ~6-12 ns per random HBM row."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    results = {}
+
+    def report(name, ms, detail=""):
+        results[name] = round(ms, 3)
+        print(f"{name:44s} {ms:10.3f} ms  {detail}", flush=True)
+
+    key = jax.random.PRNGKey(0)
+
+    def probe(rows, n, dt, reps=8):
+        tbl = (jnp.zeros((rows, 128), dt) + 1)
+        idx = jax.random.randint(key, (n, 1), 0, rows, jnp.int32)
+        idxb = jnp.broadcast_to(idx, (n, 128))
+
+        def kern(tbl_ref, idx_ref, out_ref):
+            def body(i, acc):
+                g = jnp.take_along_axis(
+                    tbl_ref[:], idx_ref[:] + (i - i), axis=0
+                )
+                return acc + g.astype(jnp.float32)
+            out_ref[:] = jax.lax.fori_loop(
+                0, reps, body, jnp.zeros((n, 128), jnp.float32)
+            )
+
+        f = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+        jf = jax.jit(lambda t, i: f(t, i).sum())
+        tag = f"dg_{rows}r_{n}n_{dt.__name__ if hasattr(dt,'__name__') else dt}"
+        try:
+            ms = timed(jf, tbl, idxb, iters=1) / reps
+            report(tag, ms, f"{ms*1e6/n:.2f} ns/row ({reps} reps)")
+        except Exception as e:
+            report(tag, float("nan"),
+                   f"FAILED {type(e).__name__}: {str(e)[:140]}")
+
+    for rows in (4096, 8192, 16384, 32768):
+        probe(rows, 2048, jnp.float32)
+    probe(32768, 2048, jnp.bfloat16)
+    probe(8192, 8192, jnp.float32)
+
+    import json
+    print(json.dumps(results))
+
+
+if __name__ == "__main__" and "--wave8" in sys.argv:
+    main8()
     sys.exit(0)

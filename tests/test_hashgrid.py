@@ -402,14 +402,6 @@ class TestFoldScatter:
         with pytest.raises(ValueError):
             hash_encode_01(params, cfg, x)
 
-    def test_fold_pallas_interpret(self):
-        # the Pallas VMEM-RMW scatter (interpret mode on CPU) must match
-        # the XLA fold scatter exactly (same f32 accumulation)
-        self._check(
-            self._cfg(scatter_impl="fold"),
-            self._cfg(scatter_impl="fold_pallas"),
-            n_pts=40,
-        )
 
 
 class TestOctLayout:
@@ -443,7 +435,7 @@ class TestOctLayout:
 
     def test_forward_and_grads_exact_vs_rows(self):
         rows_cfg = self._cfg(layout="rows")
-        for impl in ("flat", "fold", "fold_pallas"):
+        for impl in ("flat", "fold"):
             oct_cfg = self._cfg(scatter_impl=impl)
             params = init_hashgrid(jax.random.PRNGKey(2), rows_cfg)
             x = jnp.asarray(

@@ -178,3 +178,107 @@ class TestTorusQualityGate:
         pg = _torus_surface_samples()
         _, _, chamfer = chamfer_distance(pp, pg)
         assert chamfer <= 0.08, f"torus Chamfer {chamfer:.3f} > 0.08"
+
+
+@pytest.fixture(scope="module")
+def union_run(tmp_path_factory):
+    """Textured multi-object gate (VERDICT r3 #5): a sphere+torus union
+    with procedural albedo and per-image exposure jitter — exercises the
+    per-image appearance codes, the fg mask on disjoint components, and
+    view-consistent texture (two Lambertian solids cannot)."""
+    root = tmp_path_factory.mktemp("qgate_union")
+    data_root = root / "data"
+
+    import make_synthetic_scene  # scripts/ on sys.path via conftest
+
+    old = sys.argv
+    sys.argv = [
+        "gen", str(data_root), "--n", "8", "--res", "48", "--shape", "union",
+    ]
+    try:
+        make_synthetic_scene.main()
+    finally:
+        sys.argv = old
+
+    conf_add = root / "union.conf"
+    conf_add.write_text(
+        "train{ num_pixels = 256, expname = synth_union_tiny }\n"
+        "dataset{ use_mask = True, data_dir = union_scene }\n"
+        "model{ rendering_network{ per_image_code = True } }\n"
+    )
+
+    from monosdf_tpu.cli.train import main as train_main
+
+    sys.argv = [
+        "train", "--conf", "confs/synth_sphere_tiny.conf",
+        "--conf_add", str(conf_add),
+        "--data_root", str(data_root), "--exps_root", str(root / "exps"),
+        "--n_devices", "1", "--timestamp", "qgate", "--max_iters", "900",
+    ]
+    try:
+        train_main()
+    finally:
+        sys.argv = old
+
+    return root / "exps" / "qgate-synth_union_tiny"
+
+
+def _union_surface_samples(n=20000, seed=0):
+    """GT surface points of the union (rejecting points inside the other
+    solid); constants mirror scripts/make_synthetic_scene.py."""
+    sph_c = np.array([-0.32, 0.05, 0.0])
+    sph_r = 0.28
+    tor_c = np.array([0.3, -0.02, 0.0])
+    tor_R, tor_r = 0.26, 0.11
+    rng = np.random.default_rng(seed)
+
+    def sdf(p):
+        ds = np.linalg.norm(p - sph_c, axis=-1) - sph_r
+        q = p - tor_c
+        rho = np.sqrt(q[..., 0] ** 2 + q[..., 1] ** 2)
+        dt = np.sqrt((rho - tor_R) ** 2 + q[..., 2] ** 2) - tor_r
+        return np.minimum(ds, dt)
+
+    pts = []
+    while sum(len(p) for p in pts) < n:
+        v = rng.normal(size=(n, 3))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        ps = sph_c + sph_r * v
+        theta = rng.uniform(0, 2 * np.pi, n)
+        phi = rng.uniform(0, 2 * np.pi, n)
+        rho = tor_R + tor_r * np.cos(theta)
+        pt = tor_c + np.stack(
+            [rho * np.cos(phi), rho * np.sin(phi), tor_r * np.sin(theta)], -1
+        )
+        cand = np.concatenate([ps, pt], axis=0)
+        pts.append(cand[sdf(cand) > -1e-4])
+    return np.concatenate(pts, axis=0)[:n].astype(np.float32)
+
+
+class TestUnionQualityGate:
+    def test_loss_descends_with_appearance_codes(self, union_run):
+        rows = [json.loads(l) for l in open(union_run / "metrics.jsonl")]
+        tail = rows[-5:]
+        loss = float(np.mean([r["loss"] for r in tail]))
+        psnr = float(np.mean([r["psnr"] for r in tail]))
+        assert loss <= 0.2, f"union train loss {loss:.3f} > 0.2"
+        assert rows[0]["loss"] > 2 * loss, "loss did not descend"
+        assert psnr >= 14.0, f"union train PSNR {psnr:.2f} < 14"
+
+    def test_two_components_and_chamfer(self, union_run):
+        from monosdf_tpu.eval.metrics import (
+            chamfer_distance, sample_mesh_surface,
+        )
+        from monosdf_tpu.meshing import mesh_topology, read_ply
+
+        plys = sorted((union_run / "plots").glob("*.ply"))
+        assert plys, "no mesh written"
+        v, f = read_ply(str(plys[-1]))
+        topo = mesh_topology(np.asarray(v), np.asarray(f))
+        assert topo["n_components"] >= 2, (
+            f"union did not separate into components: {topo}"
+        )
+        pp, _ = sample_mesh_surface(np.asarray(v), np.asarray(f), 20000)
+        pg = _union_surface_samples()
+        _, _, chamfer = chamfer_distance(pp, pg)
+        assert chamfer <= 0.08, f"union Chamfer {chamfer:.3f} > 0.08"
