@@ -86,15 +86,42 @@ def init_implicit_net(key, cfg: ImplicitNetConfig) -> dict:
 
 
 def implicit_apply(
-    params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray, dtype=None
+    params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray, dtype=None,
+    max_level: int | None = None,
 ) -> jnp.ndarray:
     """x (..., 3) -> raw net output (..., 1 + feature_vector_size).
 
     Reference forward: network.py:79-96 (MLP) / :247-275 (grid).
-    ``dtype`` enables mixed-precision matmuls (bf16 in, f32 accumulate)."""
+    ``dtype`` enables mixed-precision matmuls (bf16 in, f32 accumulate).
+    ``max_level`` (grid mode): evaluate only the first K hash-grid levels
+    and zero the rest — Instant-NGP/Neuralangelo-style level masking. Used
+    for the sampler's NO-GRAD sweeps (MonoSDFConfig.sweep_max_level) where
+    sample placement tolerates a coarse SDF; the differentiated forward
+    always runs the full schedule."""
     if cfg.use_grid:
         if cfg.use_grid_feature:
-            feature = hash_encode(params["encoding"], cfg.grid, x / cfg.divide_factor)
+            gcfg = cfg.grid
+            if max_level is not None and max_level < gcfg.num_levels:
+                import dataclasses as _dc
+
+                gcfg = _dc.replace(
+                    gcfg, num_levels=max_level,
+                    # preserve the per-level geometry of the full schedule
+                    per_level_scale=cfg.grid.scale, desired_resolution=None,
+                )
+            feature = hash_encode(params["encoding"], gcfg, x / cfg.divide_factor)
+            if gcfg.output_dim < cfg.grid.output_dim:
+                feature = jnp.concatenate(
+                    [
+                        feature,
+                        jnp.zeros(
+                            (*feature.shape[:-1],
+                             cfg.grid.output_dim - gcfg.output_dim),
+                            feature.dtype,
+                        ),
+                    ],
+                    axis=-1,
+                )
         else:
             feature = jnp.zeros((*x.shape[:-1], cfg.grid_feature_dim), dtype=x.dtype)
         inp = jnp.concatenate([positional_encoding(x, cfg.multires), feature], axis=-1)
@@ -125,10 +152,11 @@ def _clamp_sdf(cfg: ImplicitNetConfig, sdf: jnp.ndarray, x: jnp.ndarray) -> jnp.
 
 
 def sdf_value(
-    params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray, dtype=None
+    params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray, dtype=None,
+    max_level: int | None = None,
 ) -> jnp.ndarray:
     """x (..., 3) -> sdf (..., 1)."""
-    out = implicit_apply(params, cfg, x, dtype=dtype)
+    out = implicit_apply(params, cfg, x, dtype=dtype, max_level=max_level)
     return _clamp_sdf(cfg, out[..., :1], x)
 
 

@@ -49,6 +49,14 @@ class MonoSDFConfig:
     # the main TPU throughput lever; gradients flow through bf16 MXU ops
     # while weight-norm math, activations and the loss stay f32
     mixed_precision: bool = False
+    # Grid mode: evaluate only the first K hash-grid levels in the
+    # sampler's NO-GRAD sweeps (None = full schedule, the reference
+    # behavior). Sample placement tolerates a coarse SDF — the final
+    # rendered forward always uses all levels — and the sweep gathers are
+    # the measured wall of the grids step (PERFORMANCE.md round 4), so
+    # this trades bounded sampler fidelity for a near-linear cut in sweep
+    # gather rows. Quality-gated: see QUALITY.md before changing defaults.
+    sweep_max_level: int | None = None
     # 'jnp' or 'pallas': backend for the sampler's no-grad SDF sweeps.
     # 'pallas' = fused VMEM-resident MLP kernel (MLP-mode only).
     sampler_backend: str = "jnp"
@@ -148,7 +156,8 @@ def render_rays(
     else:
         def sampler_sdf(pts):
             return sdf_value(
-                params["implicit"], cfg.implicit, pts, dtype=sampler_dtype
+                params["implicit"], cfg.implicit, pts, dtype=sampler_dtype,
+                max_level=cfg.sweep_max_level,
             )[..., 0]
 
     z_vals, z_eik = error_bound_z_vals(

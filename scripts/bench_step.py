@@ -38,6 +38,9 @@ def main():
                     help="fold backward glue: xla|pallas (grid mode)")
     ap.add_argument("--build_impl", default="xla",
                     help="quad-table build: xla|pallas (grid mode)")
+    ap.add_argument("--sweep_max_level", type=int, default=0,
+                    help="grid mode: sampler sweeps use only the first K "
+                    "levels (0 = full schedule)")
     ap.add_argument("--f32", action="store_true", help="disable mixed precision")
     ap.add_argument("--nofold", action="store_true", help="separate eikonal kernel call")
     ap.add_argument("--nofused_opt", action="store_true", help="per-leaf optax.adam")
@@ -87,6 +90,7 @@ def main():
         ),
         scene_bounding_sphere=1.1,
         compute_dtype="bfloat16" if not args.f32 else "float32",
+        sweep_max_level=args.sweep_max_level or None,
         mixed_precision=not args.f32,
         sampler_backend=args.sampler,
         diff_backend=args.diff,

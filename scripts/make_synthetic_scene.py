@@ -60,10 +60,10 @@ def main():
 
     # union scene: small sphere next to a small torus (both inside the
     # unit ball), textured
-    U_SPH_C = np.array([-0.32, 0.05, 0.0])
-    U_SPH_R = 0.28
-    U_TOR_C = np.array([0.3, -0.02, 0.0])
-    U_TOR_R, U_TOR_r = 0.26, 0.11
+    U_SPH_C = np.array([-0.36, 0.05, 0.0])
+    U_SPH_R = 0.25
+    U_TOR_C = np.array([0.34, -0.02, 0.0])
+    U_TOR_R, U_TOR_r = 0.24, 0.1
 
     def union_sdf(p):
         ds = np.linalg.norm(p - U_SPH_C, axis=-1) - U_SPH_R

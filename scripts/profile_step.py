@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--scatter", default="flat")
     ap.add_argument("--hash_scheme", default="xor")
     ap.add_argument("--layout", default="rows")
+    ap.add_argument("--fold_impl", default="xla")
+    ap.add_argument("--build_impl", default="xla")
     args = ap.parse_args()
 
     import jax
@@ -54,6 +56,7 @@ def main():
                 log2_hashmap_size=19, desired_resolution=2048,
                 table_dtype=args.table_dtype, scatter_impl=args.scatter,
                 hash_scheme=args.hash_scheme, layout=args.layout,
+                fold_impl=args.fold_impl, build_impl=args.build_impl,
             ),
             divide_factor=1.1, sdf_bounding_sphere=0.0,
         )

@@ -137,3 +137,63 @@ def test_oct_layout_fold_kernel(setup):
     np.testing.assert_allclose(
         np.asarray(g_ref), np.asarray(g_pal), rtol=0, atol=2e-6
     )
+
+
+def test_level_truncation_matches_prefix(setup):
+    """The sweep_max_level machinery: a truncated schedule (num_levels=K,
+    explicit per_level_scale) must reproduce the full encode's first K*C
+    features exactly — same per-level geometry, same table region."""
+    cfg, params, x = setup
+    K = 2
+    cfgk = dataclasses.replace(
+        cfg, num_levels=K, per_level_scale=cfg.scale, desired_resolution=None
+    )
+    full = np.asarray(hash_encode_01(params, cfg, x))
+    trunc = np.asarray(hash_encode_01(params, cfgk, x))
+    np.testing.assert_array_equal(full[:, :K * cfg.level_dim], trunc)
+
+
+def test_sweep_max_level_step_runs():
+    """A grid-mode train step with coarse-level-only sweeps runs and the
+    loss is finite (quality evidence: QUALITY.md sweep_max_level A/B)."""
+    import jax
+    from monosdf_tpu.data import make_synthetic_sphere_scene, sample_ray_batch
+    from monosdf_tpu.losses import LossConfig
+    from monosdf_tpu.models import MonoSDFConfig, init_monosdf
+    from monosdf_tpu.models.fields import (
+        ImplicitNetConfig, RenderingNetConfig,
+    )
+    from monosdf_tpu.ops.sampler import SamplerConfig
+    from monosdf_tpu.train import (
+        OptimConfig, init_train_state, make_optimizer, make_train_step,
+    )
+
+    cfg = MonoSDFConfig(
+        implicit=ImplicitNetConfig(
+            feature_vector_size=16, dims=(32, 32), multires=6,
+            inside_outside=False, bias=0.5, sdf_bounding_sphere=0.0,
+            use_grid=True,
+            grid=_cfg(num_levels=4, log2_hashmap_size=12,
+                      desired_resolution=64),
+        ),
+        rendering=RenderingNetConfig(
+            feature_vector_size=16, dims=(32, 32), multires_view=4
+        ),
+        sampler=SamplerConfig(
+            N_samples=8, N_samples_eval=16, N_samples_extra=4,
+            max_total_iters=2, intersection="cube",
+        ),
+        scene_bounding_sphere=1.1,
+        sweep_max_level=2,
+    )
+    params = init_monosdf(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(OptimConfig(decay_steps=1000, grid_mode=True))
+    state = init_train_state(params, opt)
+    step = jax.jit(make_train_step(cfg, LossConfig(), opt))
+    scene = make_synthetic_sphere_scene(n_images=2, img_res=8)
+    import numpy as _np
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, sample_ray_batch(scene, _np.random.default_rng(0), 16)
+    )
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert _np.isfinite(float(metrics["loss"]))

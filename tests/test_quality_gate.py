@@ -226,10 +226,10 @@ def union_run(tmp_path_factory):
 def _union_surface_samples(n=20000, seed=0):
     """GT surface points of the union (rejecting points inside the other
     solid); constants mirror scripts/make_synthetic_scene.py."""
-    sph_c = np.array([-0.32, 0.05, 0.0])
-    sph_r = 0.28
-    tor_c = np.array([0.3, -0.02, 0.0])
-    tor_R, tor_r = 0.26, 0.11
+    sph_c = np.array([-0.36, 0.05, 0.0])
+    sph_r = 0.25
+    tor_c = np.array([0.34, -0.02, 0.0])
+    tor_R, tor_r = 0.24, 0.1
     rng = np.random.default_rng(seed)
 
     def sdf(p):
