@@ -136,6 +136,21 @@ def render_rays(
     rays_o, rays_d = rays["rays_o"], rays["rays_d"]
     R = rays_o.shape[0]
 
+    if cfg.implicit.use_grid and cfg.implicit.use_grid_feature:
+        # derive the quad gather table ONCE per step; every encode call
+        # (5 sampler sweeps + diff forward + eikonal) reuses it
+        from ..ops.hashgrid import with_table_cache
+
+        params = {
+            **params,
+            "implicit": {
+                **params["implicit"],
+                "encoding": with_table_cache(
+                    params["implicit"]["encoding"], cfg.implicit.grid
+                ),
+            },
+        }
+
     beta0 = jax.lax.stop_gradient(get_beta(params["density"]["beta"], cfg.beta_min))
 
     # The sampler's SDF sweeps only guide sample placement (no gradients

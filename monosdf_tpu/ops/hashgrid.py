@@ -506,7 +506,24 @@ def _build_quad_mixed(params: dict, cfg: HashGridConfig) -> jnp.ndarray:
     return jnp.concatenate(blocks, axis=0)
 
 
-def _quad_take_fold(emb: jnp.ndarray, cfg: HashGridConfig, rows: jnp.ndarray):
+def with_table_cache(params: dict, cfg: HashGridConfig) -> dict:
+    """Precompute the derived quad gather table ONCE and stash it in the
+    encoding params (stop_gradient'ed) for reuse by every encode call in
+    the step — XLA does not CSE the Pallas build custom-calls, and even the
+    XLA build is worth sharing. Only the quad+fold path consumes the cache;
+    other layouts ignore it. Gradients are exact regardless: the fold
+    transpose in _quad_take_fold is the table gradient path."""
+    if cfg.layout != "quad" or cfg.scatter_impl != "fold":
+        return params
+    if cfg.build_impl == "pallas" and _kernels_eligible(cfg):
+        quad = _build_quad_mixed(params, cfg)
+    else:
+        quad = build_quad_table(params, cfg)
+    return {**params, "_quad": jax.lax.stop_gradient(quad)}
+
+
+def _quad_take_fold(emb: jnp.ndarray, cfg: HashGridConfig, rows: jnp.ndarray,
+                    quad_cache=None):
     """Quad-table row gather whose transpose is the corner-affine FOLD
     scatter (_fold_transpose). ``rows``: (2, L, B) absolute quad-table rows
     (level offsets included), with ``rows[1] == rows[0] + s2`` cyclically
@@ -522,21 +539,31 @@ def _quad_take_fold(emb: jnp.ndarray, cfg: HashGridConfig, rows: jnp.ndarray):
     L, C = cfg.num_levels, cfg.level_dim
     use_pb = rows.shape[0] == 3
 
-    def fwd(ix, e):
-        if use_pb:
-            quad = _build_quad_mixed({"embeddings": e}, cfg)
-        else:
-            quad = build_quad_table({"embeddings": e}, cfg)
+    def fwd(res, e):
+        ix, quad = res
+        if quad is None:
+            if use_pb:
+                quad = _build_quad_mixed({"embeddings": e}, cfg)
+            else:
+                quad = build_quad_table({"embeddings": e}, cfg)
         return jnp.take(quad, ix[:2].reshape(-1), axis=0)
 
-    def bwd(ix, ct):  # ct (2*L*B, 4C) -> d_emb (T, C) in emb dtype
+    def bwd(res, ct):  # ct (2*L*B, 4C) -> d_emb (T, C) in emb dtype
+        ix, _ = res
         B = ct.shape[0] // (2 * L)
         row0 = ix[-1].reshape(L, B) if use_pb else ix.reshape(2, L, B)[0]
         ctr = ct.reshape(2, L, B, 4 * C)
         u_vals = jnp.concatenate([ctr[0], ctr[1]], axis=-1)  # (L, B, 8C)
         return _fold_transpose(cfg, row0, u_vals, emb.dtype)
 
-    return linear_call(fwd, bwd, rows, emb)
+    # quad_cache: a PRECOMPUTED (stop_gradient'ed) quad table rides as a
+    # linear_call residual so the per-step build is shared across all
+    # encode calls (XLA does not CSE the Pallas build custom-calls). The
+    # fwd is then formally independent of ``emb``, but bwd remains the
+    # exact transpose of build∘take, so reverse-mode gradients (and the
+    # eikonal grad-of-grad, whose x-linearization never carries emb
+    # tangents) are unchanged — verified by tests/test_pallas_fold.py.
+    return linear_call(fwd, bwd, (rows, quad_cache), emb)
 
 
 def build_oct_table(params: dict, cfg: HashGridConfig) -> jnp.ndarray:
@@ -654,7 +681,9 @@ def _encode_quad(params: dict, cfg: HashGridConfig, x01: jnp.ndarray):
         rows = jnp.stack([local0 + off, local1 + off], axis=0)  # (2,L,B)
 
     if cfg.scatter_impl == "fold":
-        vals = _quad_take_fold(params["embeddings"], cfg, rows)
+        vals = _quad_take_fold(
+            params["embeddings"], cfg, rows, params.get("_quad")
+        )
     else:
         quad = build_quad_table(params, cfg)
         vals = _table_take(quad, rows.reshape(-1), cfg.scatter_impl)

@@ -264,6 +264,32 @@ def build_quad_hash_xla(masterp, corner_deltas, hms):
 
 def build_quad_hash(masterp: jnp.ndarray, corner_deltas, hms: int,
                     tb: int = 1024, interpret: bool | None = None) -> jnp.ndarray:
+    """custom_jvp front end for _build_quad_hash_impl: the build is LINEAR
+    in the table, so its JVP is the build of the tangent (exact; dead
+    tangent builds are DCE'd). Without this, tracing the pallas_call under
+    jax.grad's forward pass trips Pallas-internal grid-context asserts."""
+    f = _build_quad_jvp(tuple(int(d) for d in corner_deltas), hms, tb,
+                        interpret)
+    return f(masterp)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_quad_jvp(corner_deltas, hms, tb, interpret):
+    @jax.custom_jvp
+    def f(m):
+        return _build_quad_hash_impl(m, corner_deltas, hms, tb, interpret)
+
+    @f.defjvp
+    def _jvp(primals, tangents):
+        (m,), (dm,) = primals, tangents
+        return f(m), f(dm)
+
+    return f
+
+
+def _build_quad_hash_impl(masterp: jnp.ndarray, corner_deltas, hms: int,
+                          tb: int = 1024,
+                          interpret: bool | None = None) -> jnp.ndarray:
     """masterp: (n_levels, hms//64, 128) table-dtype — packed flat view of
     the (hms, 2) master table per hashed level. Returns
     (n_levels, 4, hms//64, 128): the plane-permuted packed quad table

@@ -197,3 +197,28 @@ def test_sweep_max_level_step_runs():
     )
     state, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert _np.isfinite(float(metrics["loss"]))
+
+
+def test_table_cache_exact(setup):
+    """with_table_cache (the once-per-step build hoist) must not change
+    outputs or table gradients, XLA and Pallas builds alike."""
+    from monosdf_tpu.ops.hashgrid import with_table_cache
+
+    cfg, params, x = setup
+    for c in (cfg, dataclasses.replace(cfg, fold_impl="pallas",
+                                       build_impl="pallas")):
+        ref = hash_encode_01(params, c, x)
+        out = hash_encode_01(with_table_cache(params, c), c, x)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+        def loss(p, cc=c):
+            return jnp.sum(hash_encode_01(with_table_cache(p, cc), cc, x) ** 2)
+
+        def loss_ref(p, cc=c):
+            return jnp.sum(hash_encode_01(p, cc, x) ** 2)
+
+        g_ref = jax.grad(loss_ref)(params)["embeddings"]
+        g_cache = jax.grad(loss)(params)["embeddings"]
+        np.testing.assert_allclose(
+            np.asarray(g_ref), np.asarray(g_cache), rtol=0, atol=2e-6
+        )
