@@ -76,6 +76,9 @@ def build_configs(conf: dict) -> ExperimentConfig:
         scatter_impl=str(_get(imp, "scatter_impl", "flat")),
         hash_scheme=str(_get(imp, "hash_scheme", "xor")),
         layout=str(_get(imp, "hash_layout", "rows")),
+        fold_impl=str(_get(imp, "fold_impl", "xla")),
+        build_impl=str(_get(imp, "build_impl", "xla")),
+        param_flat=bool(_get(imp, "param_flat", False)),
     )
     implicit = ImplicitNetConfig(
         feature_vector_size=feat,

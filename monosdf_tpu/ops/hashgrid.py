@@ -90,6 +90,16 @@ class HashGridConfig:
     # hashed levels' quad rows (the gather indices follow automatically).
     fold_impl: str = "xla"
     build_impl: str = "xla"
+    # Store the master table parameter as ONE flat f32[(T*C,)] vector
+    # (row-major flattening of the logical (T, C) table — checkpoint
+    # moments stay bit-compatible since the fused optimizer ravels
+    # anyway). The round-4 grids profile showed ~40 ms/step of 64x-padded
+    # {1,0:T(8,128)} materializations of the (6.1M, 2) leaf around the
+    # gradient assembly + Adam apply; with a 1-D leaf every elementwise
+    # touch is dense. The quad build/fold kernels consume flat natively;
+    # narrow (hms, C) views survive only for the small dense levels and
+    # the non-flagship rows/oct paths.
+    param_flat: bool = False
 
     @property
     def scale(self) -> float:
@@ -130,11 +140,20 @@ class HashGridConfig:
 
 
 def init_hashgrid(key, cfg: HashGridConfig) -> dict:
-    """Embeddings ~ U(-1e-4, 1e-4) (reference hashgrid.py:147-149)."""
+    """Embeddings ~ U(-1e-4, 1e-4) (reference hashgrid.py:147-149).
+    With cfg.param_flat the same values ship as a row-major 1-D vector."""
     emb = jax.random.uniform(
         key, (cfg.table_size, cfg.level_dim), minval=-1e-4, maxval=1e-4
     )
+    if cfg.param_flat:
+        emb = emb.reshape(-1)
     return {"embeddings": emb}
+
+
+def _emb2d(emb: jnp.ndarray, C: int) -> jnp.ndarray:
+    """The logical (T, C) view of a possibly-flat embeddings leaf (pays a
+    relayout on TPU — flagship paths avoid it and slice the flat vector)."""
+    return emb.reshape(-1, C) if emb.ndim == 1 else emb
 
 
 def _smoothstep(v):
@@ -240,6 +259,7 @@ def build_quad_table(params: dict, cfg: HashGridConfig) -> jnp.ndarray:
     emb = params["embeddings"]
     if cfg.table_dtype != "float32":
         emb = emb.astype(jnp.dtype(cfg.table_dtype))
+    emb = _emb2d(emb, cfg.level_dim)
     shifts = _level_shifts(cfg)
     blocks = []
     for (off, hms, _, _), (s1, _) in zip(cfg.level_params(), shifts):
@@ -345,7 +365,8 @@ def _roll_flat(flat: jnp.ndarray, s: int) -> jnp.ndarray:
     return jnp.where(lane >= r, ar, br)
 
 
-def _fold_transpose(cfg: HashGridConfig, row0, u_vals, out_dtype):
+def _fold_transpose(cfg: HashGridConfig, row0, u_vals, out_dtype,
+                    flat: bool = False):
     """The corner-affine FOLD scatter: transpose of an 8-corner gather.
 
     row0 (L, B): absolute base table rows; u_vals (L, B, 8C): per-corner
@@ -383,9 +404,10 @@ def _fold_transpose(cfg: HashGridConfig, row0, u_vals, out_dtype):
         f"(level_dim={C} gives row width {W})"
     )
     if cfg.fold_impl == "pallas" and _kernels_eligible(cfg):
-        return _fold_transpose_mixed(cfg, row0, u_vals, out_dtype)
+        return _fold_transpose_mixed(cfg, row0, u_vals, out_dtype, flat)
     blocks = _fold_xla_blocks(levels, shifts, row0, u_vals, C)
-    return jnp.concatenate(blocks, axis=0).astype(out_dtype)
+    d = jnp.concatenate(blocks, axis=0).astype(out_dtype)
+    return d.reshape(-1) if flat else d
 
 
 def _fold_xla_blocks(levels, shifts, row0, u_vals, C):
@@ -433,7 +455,8 @@ def _fold_xla_blocks(levels, shifts, row0, u_vals, C):
     return blocks
 
 
-def _fold_transpose_mixed(cfg: HashGridConfig, row0, u_vals, out_dtype):
+def _fold_transpose_mixed(cfg: HashGridConfig, row0, u_vals, out_dtype,
+                          flat: bool = False):
     """Fold transpose with the uniform hashed tail on the Pallas kernel
     (plane-permuted packed scatter + static lane-permute matmuls,
     ops/pallas_fold.py) and the dense prefix on the XLA path."""
@@ -463,6 +486,11 @@ def _fold_transpose_mixed(cfg: HashGridConfig, row0, u_vals, out_dtype):
     dh = fold_hash_levels(
         U8h.reshape(n_hash, 8, R, 128), deltas, hms, tb=_pick_tb(R)
     )
+    if flat:
+        # assemble the gradient as ONE 1-D vector: the hash kernel output
+        # is already the flat packed stream; dense blocks flatten small
+        parts = [b.reshape(-1) for b in blocks] + [dh.reshape(-1)]
+        return jnp.concatenate(parts, axis=0).astype(out_dtype)
     blocks.append(dh.reshape(n_hash * hms, C))
     return jnp.concatenate(blocks, axis=0).astype(out_dtype)
 
@@ -475,16 +503,23 @@ def _build_quad_mixed(params: dict, cfg: HashGridConfig) -> jnp.ndarray:
     from .pallas_fold import build_quad_hash
 
     assert cfg.hash_scheme == "add"
+    C = cfg.level_dim
     emb = params["embeddings"]
     if cfg.table_dtype != "float32":
         emb = emb.astype(jnp.dtype(cfg.table_dtype))
+    flat = emb.ndim == 1
     levels = cfg.level_params()
     shifts = _level_shifts(cfg)
     h0, n_hash, hms, (s1, s2) = _hash_group(cfg)
 
     blocks = []
     for (off, lhms, _, _), (ls1, _) in zip(levels[:h0], shifts[:h0]):
-        blk = jax.lax.slice_in_dim(emb, off, off + lhms, axis=0)
+        if flat:
+            blk = jax.lax.slice_in_dim(
+                emb, C * off, C * (off + lhms), axis=0
+            ).reshape(lhms, C)
+        else:
+            blk = jax.lax.slice_in_dim(emb, off, off + lhms, axis=0)
         blocks.append(
             jnp.concatenate(
                 [
@@ -497,7 +532,12 @@ def _build_quad_mixed(params: dict, cfg: HashGridConfig) -> jnp.ndarray:
             )
         )
     off_h = levels[h0][0]
-    embh = jax.lax.slice_in_dim(emb, off_h, off_h + n_hash * hms, axis=0)
+    if flat:
+        embh = jax.lax.slice_in_dim(
+            emb, C * off_h, C * (off_h + n_hash * hms), axis=0
+        )
+    else:
+        embh = jax.lax.slice_in_dim(emb, off_h, off_h + n_hash * hms, axis=0)
     masterp = embh.reshape(n_hash, hms // 64, 128)
     quad_h = build_quad_hash(
         masterp, (0, 1, s1, s1 + 1), hms, tb=_pick_tb(hms // 64)
@@ -548,13 +588,14 @@ def _quad_take_fold(emb: jnp.ndarray, cfg: HashGridConfig, rows: jnp.ndarray,
                 quad = build_quad_table({"embeddings": e}, cfg)
         return jnp.take(quad, ix[:2].reshape(-1), axis=0)
 
-    def bwd(res, ct):  # ct (2*L*B, 4C) -> d_emb (T, C) in emb dtype
+    def bwd(res, ct):  # ct (2*L*B, 4C) -> d_emb shaped like emb
         ix, _ = res
         B = ct.shape[0] // (2 * L)
         row0 = ix[-1].reshape(L, B) if use_pb else ix.reshape(2, L, B)[0]
         ctr = ct.reshape(2, L, B, 4 * C)
         u_vals = jnp.concatenate([ctr[0], ctr[1]], axis=-1)  # (L, B, 8C)
-        return _fold_transpose(cfg, row0, u_vals, emb.dtype)
+        return _fold_transpose(cfg, row0, u_vals, emb.dtype,
+                               flat=emb.ndim == 1)
 
     # quad_cache: a PRECOMPUTED (stop_gradient'ed) quad table rides as a
     # linear_call residual so the per-step build is shared across all
@@ -577,6 +618,7 @@ def build_oct_table(params: dict, cfg: HashGridConfig) -> jnp.ndarray:
     emb = params["embeddings"]
     if cfg.table_dtype != "float32":
         emb = emb.astype(jnp.dtype(cfg.table_dtype))
+    emb = _emb2d(emb, cfg.level_dim)
     shifts = _level_shifts(cfg)
     blocks = []
     for (off, hms, _, _), (s1, s2) in zip(cfg.level_params(), shifts):
@@ -609,7 +651,8 @@ def _oct_take_fold(emb: jnp.ndarray, cfg: HashGridConfig, rows: jnp.ndarray):
     def bwd(ix, ct):  # ct (L*B, 8C)
         B = ct.shape[0] // L
         return _fold_transpose(
-            cfg, ix.reshape(L, B), ct.reshape(L, B, 8 * C), emb.dtype
+            cfg, ix.reshape(L, B), ct.reshape(L, B, 8 * C), emb.dtype,
+            flat=emb.ndim == 1,
         )
 
     return linear_call(fwd, bwd, rows, emb)
@@ -769,6 +812,7 @@ def hash_encode_01(params: dict, cfg: HashGridConfig, x01: jnp.ndarray) -> jnp.n
     emb = params["embeddings"]
     if cfg.table_dtype != "float32":
         emb = emb.astype(jnp.dtype(cfg.table_dtype))
+    emb = _emb2d(emb, cfg.level_dim)
     B, D = x01.shape
     C = cfg.level_dim
     L = cfg.num_levels

@@ -298,9 +298,15 @@ def restore_state(state, payload, strict: bool = False):
 
     from .step import TrainState
 
-    params = jax.tree_util.tree_map(
-        lambda live, saved: jnp.asarray(saved), state.params, payload["params"]
-    )
+    def _leaf(live, saved):
+        a = jnp.asarray(saved)
+        if a.shape != live.shape and a.size == live.size:
+            # layout migration (e.g. (T, C) table checkpoints restored
+            # into a param_flat run, or vice versa — same row-major data)
+            a = a.reshape(live.shape)
+        return a
+
+    params = jax.tree_util.tree_map(_leaf, state.params, payload["params"])
     saved_opt = payload["opt_state"]
     live_def = jax.tree_util.tree_structure(state.opt_state)
     saved_def = jax.tree_util.tree_structure(saved_opt)

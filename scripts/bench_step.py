@@ -38,6 +38,8 @@ def main():
                     help="fold backward glue: xla|pallas (grid mode)")
     ap.add_argument("--build_impl", default="xla",
                     help="quad-table build: xla|pallas (grid mode)")
+    ap.add_argument("--param_flat", action="store_true",
+                    help="grid mode: 1-D flat table parameter")
     ap.add_argument("--sweep_max_level", type=int, default=0,
                     help="grid mode: sampler sweeps use only the first K "
                     "levels (0 = full schedule)")
@@ -70,6 +72,7 @@ def main():
                 table_dtype=args.table_dtype, scatter_impl=args.scatter,
                 hash_scheme=args.hash_scheme, layout=args.layout,
                 fold_impl=args.fold_impl, build_impl=args.build_impl,
+                param_flat=args.param_flat,
             ),
             divide_factor=1.1, sdf_bounding_sphere=0.0,
         )

@@ -222,3 +222,29 @@ def test_table_cache_exact(setup):
         np.testing.assert_allclose(
             np.asarray(g_ref), np.asarray(g_cache), rtol=0, atol=2e-6
         )
+
+
+def test_param_flat_exact(setup):
+    """param_flat=True (1-D table leaf) must be value- and gradient-exact
+    vs the (T, C) leaf, including through the cache + pallas kernels."""
+    from monosdf_tpu.ops.hashgrid import with_table_cache
+
+    cfg, params, x = setup
+    cfgf = dataclasses.replace(
+        cfg, param_flat=True, fold_impl="pallas", build_impl="pallas"
+    )
+    pflat = {"embeddings": params["embeddings"].reshape(-1)}
+
+    ref = hash_encode_01(params, cfg, x)
+    out = hash_encode_01(with_table_cache(pflat, cfgf), cfgf, x)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+    def loss(p, c):
+        return jnp.sum(hash_encode_01(with_table_cache(p, c), c, x) ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, cfg))(params)["embeddings"]
+    g_flat = jax.grad(lambda p: loss(p, cfgf))(pflat)["embeddings"]
+    assert g_flat.ndim == 1
+    np.testing.assert_allclose(
+        np.asarray(g_ref).reshape(-1), np.asarray(g_flat), rtol=0, atol=2e-6
+    )
