@@ -149,6 +149,9 @@ def build_configs(conf: dict) -> ExperimentConfig:
         sampler_backend=str(_get(tpu, "sampler_backend", "jnp")),
         diff_backend=str(_get(tpu, "diff_backend", "jnp")),
         rgb_backend=str(_get(tpu, "rgb_backend", "jnp")),
+        sweep_max_level=(
+            int(_get(tpu, "sweep_max_level", 0)) or None
+        ),
     )
 
     max_total_iters = int(_get(train, "max_total_iters", 150_000))
