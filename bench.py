@@ -65,6 +65,9 @@ def main():
                 log2_hashmap_size=19, desired_resolution=2048,
                 table_dtype="bfloat16", scatter_impl="fold",
                 hash_scheme="add", layout="quad",
+                # round-4 production encoding (PERFORMANCE.md round-4):
+                # Pallas fold/build kernels + flat 1-D table parameter
+                fold_impl="pallas", build_impl="pallas", param_flat=True,
             ),
             divide_factor=1.1, sdf_bounding_sphere=0.0,
         )
@@ -94,6 +97,10 @@ def main():
         diff_backend="jnp" if grids else "pallas",
         sampler_backend="jnp" if grids else "pallas",
         rgb_backend="jnp" if grids else "fused",
+        # grids: coarse-level-only sampler sweeps (Neuralangelo-style level
+        # masking on the no-grad sample-placement path; quality-gated in
+        # QUALITY.md) — the sweep gathers are the measured wall
+        sweep_max_level=8 if grids else None,
     )
 
     params = init_monosdf(jax.random.PRNGKey(0), cfg)

@@ -44,6 +44,12 @@ def main():
                     help="grid mode: sampler sweeps use only the first K "
                     "levels (0 = full schedule)")
     ap.add_argument("--f32", action="store_true", help="disable mixed precision")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="jit K chained train steps per dispatch (UNROLLED in "
+                    "one graph — not lax.scan, which was measured-rejected: "
+                    "the scanned while-loop loses cross-step weight-prefetch "
+                    "overlap; an unrolled graph keeps XLA free to schedule "
+                    "across the step boundary while halving dispatches)")
     ap.add_argument("--nofold", action="store_true", help="separate eikonal kernel call")
     ap.add_argument("--nofused_opt", action="store_true", help="per-leaf optax.adam")
     args = ap.parse_args()
@@ -108,7 +114,20 @@ def main():
                     fused=not args.nofused_opt)
     )
     state = init_train_state(params, opt)
-    step = jax.jit(make_train_step(cfg, LossConfig(), opt), donate_argnums=(0,))
+    step_fn = make_train_step(cfg, LossConfig(), opt)
+    if args.unroll > 1:
+        K = args.unroll
+
+        def multi(state, batch, key):
+            keys = jax.random.split(key, K)
+            metrics = None
+            for i in range(K):
+                state, metrics = step_fn(state, batch, keys[i])
+            return state, metrics
+
+        step = jax.jit(multi, donate_argnums=(0,))
+    else:
+        step = jax.jit(step_fn, donate_argnums=(0,))
 
     scene = make_synthetic_sphere_scene(n_images=4, img_res=64)
     batch = jax.tree_util.tree_map(
@@ -125,11 +144,17 @@ def main():
     _ = float(metrics["loss"])
     rt = time.perf_counter() - t_rt
 
+    # pre-materialize per-dispatch keys (PRNGKey() in the loop costs a
+    # host->device transfer per dispatch; see bench.py)
+    keys = [jax.random.PRNGKey(100 + i) for i in range(args.iters)]
+    _ = float(keys[-1][0])
+
     t0 = time.perf_counter()
     for i in range(args.iters):
-        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+        state, metrics = step(state, batch, keys[i])
     loss1 = float(metrics["loss"])
     dt = time.perf_counter() - t0 - rt
+    steps_done = args.iters * args.unroll
 
     print(json.dumps({
         "rays": args.rays, "diff": args.diff, "sampler": args.sampler,
@@ -139,8 +164,9 @@ def main():
         "scatter": args.scatter if args.grid else None,
         "hash_scheme": args.hash_scheme if args.grid else None,
         "layout": args.layout if args.grid else None,
-        "ms_per_step": round(1e3 * dt / args.iters, 2),
-        "rays_per_s": round(args.rays * args.iters / dt, 1),
+        "unroll": args.unroll,
+        "ms_per_step": round(1e3 * dt / steps_done, 2),
+        "rays_per_s": round(args.rays * steps_done / dt, 1),
         "compile_s": round(compile_s, 1),
         "loss_first": round(loss0, 4), "loss_last": round(loss1, 4),
     }))

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--layout", default="rows")
     ap.add_argument("--fold_impl", default="xla")
     ap.add_argument("--build_impl", default="xla")
+    ap.add_argument("--param_flat", action="store_true")
+    ap.add_argument("--sweep_max_level", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -57,6 +59,7 @@ def main():
                 table_dtype=args.table_dtype, scatter_impl=args.scatter,
                 hash_scheme=args.hash_scheme, layout=args.layout,
                 fold_impl=args.fold_impl, build_impl=args.build_impl,
+                param_flat=args.param_flat,
             ),
             divide_factor=1.1, sdf_bounding_sphere=0.0,
         )
@@ -79,9 +82,13 @@ def main():
         compute_dtype="bfloat16", mixed_precision=True,
         sampler_backend=args.sampler, diff_backend=args.diff,
         rgb_backend=args.rgb,
+        sweep_max_level=args.sweep_max_level or None,
     )
     params = init_monosdf(jax.random.PRNGKey(0), cfg)
-    opt = make_optimizer(OptimConfig(learning_rate=5e-4, decay_steps=150_000))
+    opt = make_optimizer(
+        OptimConfig(learning_rate=5e-4, decay_steps=150_000,
+                    grid_mode=args.grid)
+    )
     state = init_train_state(params, opt)
     step = jax.jit(make_train_step(cfg, LossConfig(), opt), donate_argnums=(0,))
 
