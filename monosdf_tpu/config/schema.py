@@ -134,6 +134,16 @@ def build_configs(conf: dict) -> ExperimentConfig:
     # tpu { mixed_precision, compute_dtype, sampler_backend, diff_backend,
     #       rgb_backend, sampler_machinery }
     tpu = conf.get("tpu", {})
+    _sweep_max = int(_get(tpu, "sweep_max_level", 0)) or None
+    if bool(_get(tpu, "sweep_oct", False)) and _sweep_max:
+        # serve the coarse sweeps from a per-step oct cache (one 8C-row
+        # gather per level-point; HashGridConfig.sweep_oct_levels)
+        import dataclasses as _dc
+
+        implicit = _dc.replace(
+            implicit,
+            grid=_dc.replace(implicit.grid, sweep_oct_levels=_sweep_max),
+        )
     model_cfg = MonoSDFConfig(
         implicit=implicit,
         rendering=rendering,
@@ -149,9 +159,7 @@ def build_configs(conf: dict) -> ExperimentConfig:
         sampler_backend=str(_get(tpu, "sampler_backend", "jnp")),
         diff_backend=str(_get(tpu, "diff_backend", "jnp")),
         rgb_backend=str(_get(tpu, "rgb_backend", "jnp")),
-        sweep_max_level=(
-            int(_get(tpu, "sweep_max_level", 0)) or None
-        ),
+        sweep_max_level=_sweep_max,
     )
 
     max_total_iters = int(_get(train, "max_total_iters", 150_000))

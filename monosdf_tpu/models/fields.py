@@ -104,11 +104,25 @@ def implicit_apply(
             if max_level is not None and max_level < gcfg.num_levels:
                 import dataclasses as _dc
 
-                gcfg = _dc.replace(
-                    gcfg, num_levels=max_level,
-                    # preserve the per-level geometry of the full schedule
-                    per_level_scale=cfg.grid.scale, desired_resolution=None,
-                )
+                if (
+                    gcfg.layout == "quad"
+                    and gcfg.scatter_impl == "fold"
+                    and gcfg.sweep_oct_levels == max_level
+                ):
+                    # serve the coarse sweeps from the per-step OCT cache:
+                    # one 8C row per level-point instead of quad's two
+                    # (HashGridConfig.sweep_oct_levels; values identical)
+                    from ..ops.hashgrid import sweep_cfg
+
+                    gcfg = sweep_cfg(gcfg)
+                else:
+                    gcfg = _dc.replace(
+                        gcfg, num_levels=max_level,
+                        # preserve the per-level geometry of the full
+                        # schedule
+                        per_level_scale=cfg.grid.scale,
+                        desired_resolution=None,
+                    )
             feature = hash_encode(params["encoding"], gcfg, x / cfg.divide_factor)
             if gcfg.output_dim < cfg.grid.output_dim:
                 feature = jnp.concatenate(

@@ -100,6 +100,16 @@ class HashGridConfig:
     # narrow (hms, C) views survive only for the small dense levels and
     # the non-flagship rows/oct paths.
     param_flat: bool = False
+    # Serve the sampler's coarse-level-only NO-GRAD sweeps
+    # (MonoSDFConfig.sweep_max_level = K) from a derived OCT table of the
+    # first K levels, built once per step alongside the quad cache: ONE
+    # 8C-channel row per (point, level) instead of quad's two 4C rows —
+    # the v5e row gather is latency-bound per ROW (probe waves 2/5), so
+    # this halves the sweep-gather rows, the measured wall of the grids
+    # step. Values are identical to the quad gather (same corners, same
+    # weights; exactness-tested), so quality evidence transfers. 0 = off;
+    # set equal to sweep_max_level (quad main layout only).
+    sweep_oct_levels: int = 0
 
     @property
     def scale(self) -> float:
@@ -559,7 +569,30 @@ def with_table_cache(params: dict, cfg: HashGridConfig) -> dict:
         quad = _build_quad_mixed(params, cfg)
     else:
         quad = build_quad_table(params, cfg)
-    return {**params, "_quad": jax.lax.stop_gradient(quad)}
+    out = {**params, "_quad": jax.lax.stop_gradient(quad)}
+    if cfg.sweep_oct_levels > 0:
+        # derived OCT table of the first K (coarse) levels for the no-grad
+        # sampler sweeps: one 8C-row gather per level-point (see
+        # HashGridConfig.sweep_oct_levels). Sequential HBM build (rolls
+        # feeding a concat are compact), once per step.
+        oct_t = build_oct_table(params, sweep_cfg(cfg))
+        out["_oct_sweep"] = jax.lax.stop_gradient(oct_t)
+    return out
+
+
+def sweep_cfg(cfg: HashGridConfig) -> "HashGridConfig":
+    """The truncated oct-layout config serving the coarse-level sampler
+    sweeps: first ``sweep_oct_levels`` levels of the SAME geometry (scale
+    pinned so level resolutions match the full schedule's prefix), oct
+    layout, plain XLA take (no-grad path — the fold/build kernels and the
+    plane permutation only matter for the differentiated quad path)."""
+    import dataclasses as _dc
+
+    return _dc.replace(
+        cfg, num_levels=cfg.sweep_oct_levels, per_level_scale=cfg.scale,
+        desired_resolution=None, layout="oct", build_impl="xla",
+        fold_impl="xla",
+    )
 
 
 def _quad_take_fold(emb: jnp.ndarray, cfg: HashGridConfig, rows: jnp.ndarray,
@@ -636,26 +669,33 @@ def build_oct_table(params: dict, cfg: HashGridConfig) -> jnp.ndarray:
     return jnp.concatenate(blocks, axis=0)  # (T, 8C)
 
 
-def _oct_take_fold(emb: jnp.ndarray, cfg: HashGridConfig, rows: jnp.ndarray):
+def _oct_take_fold(emb: jnp.ndarray, cfg: HashGridConfig, rows: jnp.ndarray,
+                   oct_cache=None):
     """Oct-table row gather (one row per level-point) whose transpose is the
     corner-affine FOLD scatter — the cotangent rows ARE the fold's update
-    rows, no restructuring. ``rows``: (L, B) absolute base rows."""
+    rows, no restructuring. ``rows``: (L, B) absolute base rows.
+    ``oct_cache``: a precomputed (stop_gradient'ed) oct table riding as a
+    linear_call residual (same sharing rationale as _quad_take_fold's
+    quad_cache — the per-step build is shared across all encode calls)."""
     from jax.custom_derivatives import linear_call
 
     L, C = cfg.num_levels, cfg.level_dim
 
-    def fwd(ix, e):
-        oct_t = build_oct_table({"embeddings": e}, cfg)
+    def fwd(res, e):
+        ix, oct_t = res
+        if oct_t is None:
+            oct_t = build_oct_table({"embeddings": e}, cfg)
         return jnp.take(oct_t, ix.reshape(-1), axis=0)
 
-    def bwd(ix, ct):  # ct (L*B, 8C)
+    def bwd(res, ct):  # ct (L*B, 8C)
+        ix, _ = res
         B = ct.shape[0] // L
         return _fold_transpose(
             cfg, ix.reshape(L, B), ct.reshape(L, B, 8 * C), emb.dtype,
             flat=emb.ndim == 1,
         )
 
-    return linear_call(fwd, bwd, rows, emb)
+    return linear_call(fwd, bwd, (rows, oct_cache), emb)
 
 
 def _encode_core(cfg: HashGridConfig, x01: jnp.ndarray):
@@ -769,7 +809,11 @@ def _encode_oct(params: dict, cfg: HashGridConfig, x01: jnp.ndarray):
     rows = (base % hms_arr[:, None]).astype(jnp.int32) + off_arr[:, None]
 
     if cfg.scatter_impl == "fold":
-        vals = _oct_take_fold(params["embeddings"], cfg, rows)
+        # the sweep cache only matches the TRUNCATED (sweep_cfg) schedule
+        cache = params.get("_oct_sweep")
+        if cache is not None and cfg.num_levels != cfg.sweep_oct_levels:
+            cache = None
+        vals = _oct_take_fold(params["embeddings"], cfg, rows, cache)
     else:
         oct_t = build_oct_table(params, cfg)
         vals = _table_take(oct_t, rows.reshape(-1), cfg.scatter_impl)

@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--sweep_max_level", type=int, default=0,
                     help="grid mode: sampler sweeps use only the first K "
                     "levels (0 = full schedule)")
+    ap.add_argument("--sweep_oct", action="store_true",
+                    help="grid mode: serve the coarse sweeps from a "
+                    "per-step oct cache (one 8C row/level-point)")
     ap.add_argument("--f32", action="store_true", help="disable mixed precision")
     ap.add_argument("--unroll", type=int, default=1,
                     help="jit K chained train steps per dispatch (UNROLLED in "
@@ -79,6 +82,9 @@ def main():
                 hash_scheme=args.hash_scheme, layout=args.layout,
                 fold_impl=args.fold_impl, build_impl=args.build_impl,
                 param_flat=args.param_flat,
+                sweep_oct_levels=(
+                    args.sweep_max_level if args.sweep_oct else 0
+                ),
             ),
             divide_factor=1.1, sdf_bounding_sphere=0.0,
         )

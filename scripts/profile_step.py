@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--build_impl", default="xla")
     ap.add_argument("--param_flat", action="store_true")
     ap.add_argument("--sweep_max_level", type=int, default=0)
+    ap.add_argument("--sweep_oct", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -60,6 +61,9 @@ def main():
                 hash_scheme=args.hash_scheme, layout=args.layout,
                 fold_impl=args.fold_impl, build_impl=args.build_impl,
                 param_flat=args.param_flat,
+                sweep_oct_levels=(
+                    args.sweep_max_level if args.sweep_oct else 0
+                ),
             ),
             divide_factor=1.1, sdf_bounding_sphere=0.0,
         )

@@ -248,3 +248,88 @@ def test_param_flat_exact(setup):
     np.testing.assert_allclose(
         np.asarray(g_ref).reshape(-1), np.asarray(g_flat), rtol=0, atol=2e-6
     )
+
+
+def test_oct_sweep_cache_exact(setup):
+    """The oct sweep cache (HashGridConfig.sweep_oct_levels): the truncated
+    oct-layout encode served from the per-step cache must reproduce the
+    truncated QUAD encode's values — same corners, same weights, only the
+    row packing differs (one 8C row vs two 4C rows per level-point)."""
+    from monosdf_tpu.ops.hashgrid import sweep_cfg, with_table_cache
+
+    cfg, params, x = setup
+    K = 2
+    cfgq = dataclasses.replace(
+        cfg, num_levels=K, per_level_scale=cfg.scale, desired_resolution=None
+    )
+    ref = np.asarray(hash_encode_01(params, cfgq, x))
+
+    cfgs = dataclasses.replace(cfg, sweep_oct_levels=K)
+    cached = with_table_cache(params, cfgs)
+    assert "_oct_sweep" in cached
+    out = np.asarray(hash_encode_01(cached, sweep_cfg(cfgs), x))
+    np.testing.assert_allclose(ref, out, rtol=0, atol=1e-6)
+
+    # without the cache entry the truncated-oct encode rebuilds in-graph
+    # and must still agree
+    out2 = np.asarray(hash_encode_01(params, sweep_cfg(cfgs), x))
+    np.testing.assert_allclose(ref, out2, rtol=0, atol=1e-6)
+
+
+def test_oct_sweep_step_matches_quad_sweeps():
+    """A grid-mode train step with sweep_oct_levels must produce the same
+    loss and parameter update as plain coarse-level quad sweeps: the sweeps
+    only place samples (stop-gradient), and oct serves identical values."""
+    import dataclasses as _dc
+
+    import jax
+    from monosdf_tpu.data import make_synthetic_sphere_scene, sample_ray_batch
+    from monosdf_tpu.losses import LossConfig
+    from monosdf_tpu.models import MonoSDFConfig, init_monosdf
+    from monosdf_tpu.models.fields import (
+        ImplicitNetConfig, RenderingNetConfig,
+    )
+    from monosdf_tpu.ops.sampler import SamplerConfig
+    from monosdf_tpu.train import (
+        OptimConfig, init_train_state, make_optimizer, make_train_step,
+    )
+
+    def run(sweep_oct):
+        cfg = MonoSDFConfig(
+            implicit=ImplicitNetConfig(
+                feature_vector_size=16, dims=(32, 32), multires=6,
+                inside_outside=False, bias=0.5, sdf_bounding_sphere=0.0,
+                use_grid=True,
+                grid=_cfg(num_levels=4, log2_hashmap_size=12,
+                          desired_resolution=64,
+                          sweep_oct_levels=2 if sweep_oct else 0),
+            ),
+            rendering=RenderingNetConfig(
+                feature_vector_size=16, dims=(32, 32), multires_view=4
+            ),
+            sampler=SamplerConfig(
+                N_samples=8, N_samples_eval=16, N_samples_extra=4,
+                max_total_iters=2, intersection="cube",
+            ),
+            scene_bounding_sphere=1.1,
+            sweep_max_level=2,
+        )
+        params = init_monosdf(jax.random.PRNGKey(0), cfg)
+        opt = make_optimizer(OptimConfig(decay_steps=1000, grid_mode=True))
+        state = init_train_state(params, opt)
+        step = jax.jit(make_train_step(cfg, LossConfig(), opt))
+        scene = make_synthetic_sphere_scene(n_images=2, img_res=8)
+        import numpy as _np
+        batch = jax.tree_util.tree_map(
+            jnp.asarray,
+            sample_ray_batch(scene, _np.random.default_rng(0), 16),
+        )
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        return float(metrics["loss"]), state.params["implicit"]["encoding"]["embeddings"]
+
+    loss_q, emb_q = run(False)
+    loss_o, emb_o = run(True)
+    np.testing.assert_allclose(loss_q, loss_o, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(emb_q), np.asarray(emb_o), rtol=0, atol=1e-7
+    )
