@@ -98,50 +98,7 @@ def implicit_apply(
     for the sampler's NO-GRAD sweeps (MonoSDFConfig.sweep_max_level) where
     sample placement tolerates a coarse SDF; the differentiated forward
     always runs the full schedule."""
-    if cfg.use_grid:
-        if cfg.use_grid_feature:
-            gcfg = cfg.grid
-            if max_level is not None and max_level < gcfg.num_levels:
-                import dataclasses as _dc
-
-                if (
-                    gcfg.layout == "quad"
-                    and gcfg.scatter_impl == "fold"
-                    and gcfg.sweep_oct_levels == max_level
-                ):
-                    # serve the coarse sweeps from the per-step OCT cache:
-                    # one 8C row per level-point instead of quad's two
-                    # (HashGridConfig.sweep_oct_levels; values identical)
-                    from ..ops.hashgrid import sweep_cfg
-
-                    gcfg = sweep_cfg(gcfg)
-                else:
-                    gcfg = _dc.replace(
-                        gcfg, num_levels=max_level,
-                        # preserve the per-level geometry of the full
-                        # schedule
-                        per_level_scale=cfg.grid.scale,
-                        desired_resolution=None,
-                    )
-            feature = hash_encode(params["encoding"], gcfg, x / cfg.divide_factor)
-            if gcfg.output_dim < cfg.grid.output_dim:
-                feature = jnp.concatenate(
-                    [
-                        feature,
-                        jnp.zeros(
-                            (*feature.shape[:-1],
-                             cfg.grid.output_dim - gcfg.output_dim),
-                            feature.dtype,
-                        ),
-                    ],
-                    axis=-1,
-                )
-        else:
-            feature = jnp.zeros((*x.shape[:-1], cfg.grid_feature_dim), dtype=x.dtype)
-        inp = jnp.concatenate([positional_encoding(x, cfg.multires), feature], axis=-1)
-    else:
-        inp = positional_encoding(x, cfg.multires)
-
+    inp = _net_input(params, cfg, x, max_level)
     h = inp
     for l in range(cfg.num_layers - 1):
         if l in cfg.skip_in:
@@ -163,6 +120,61 @@ def _clamp_sdf(cfg: ImplicitNetConfig, sdf: jnp.ndarray, x: jnp.ndarray) -> jnp.
         cfg.sdf_bounding_sphere - jnp.linalg.norm(x, axis=-1, keepdims=True)
     )
     return jnp.minimum(sdf, sphere_sdf)
+
+
+def _net_input(
+    params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray,
+    max_level: int | None = None,
+) -> jnp.ndarray:
+    """The trunk's layer-0 input: PE(x) for MLP mode, [PE(x) | grid
+    features] for grid mode. ``max_level`` truncates the grid schedule for
+    the sampler's no-grad sweeps (levels beyond it are zero-padded so the
+    trunk weights see their full input width); when the truncation matches
+    HashGridConfig.sweep_oct_levels the features come from the per-step
+    oct sweep cache (one 8C gather row per level-point)."""
+    if not cfg.use_grid:
+        return positional_encoding(x, cfg.multires)
+    if cfg.use_grid_feature:
+        gcfg = cfg.grid
+        if max_level is not None and max_level < gcfg.num_levels:
+            import dataclasses as _dc
+
+            if (
+                gcfg.layout == "quad"
+                and gcfg.scatter_impl == "fold"
+                and gcfg.sweep_oct_levels == max_level
+            ):
+                # serve the coarse sweeps from the per-step OCT cache:
+                # one 8C row per level-point instead of quad's two
+                # (HashGridConfig.sweep_oct_levels; values identical)
+                from ..ops.hashgrid import sweep_cfg
+
+                gcfg = sweep_cfg(gcfg)
+            else:
+                gcfg = _dc.replace(
+                    gcfg, num_levels=max_level,
+                    # preserve the per-level geometry of the full schedule
+                    per_level_scale=cfg.grid.scale,
+                    desired_resolution=None,
+                )
+        feature = hash_encode(params["encoding"], gcfg, x / cfg.divide_factor)
+        if gcfg.output_dim < cfg.grid.output_dim:
+            feature = jnp.concatenate(
+                [
+                    feature,
+                    jnp.zeros(
+                        (*feature.shape[:-1],
+                         cfg.grid.output_dim - gcfg.output_dim),
+                        feature.dtype,
+                    ),
+                ],
+                axis=-1,
+            )
+    else:
+        feature = jnp.zeros((*x.shape[:-1], cfg.grid_feature_dim), dtype=x.dtype)
+    return jnp.concatenate(
+        [positional_encoding(x, cfg.multires), feature], axis=-1
+    )
 
 
 def sdf_value(
@@ -211,6 +223,29 @@ def sdf_value_pallas(
         inp = positional_encoding(x, cfg.multires)
         flat = inp.reshape(-1, inp.shape[-1])
         out = fused_sdf_mlp_nograd(ws, bs, flat, cfg.skip_in, dtype=dtype)
+    sdf = out[:, :1].reshape(*x.shape[:-1], 1)
+    return _clamp_sdf(cfg, sdf, x)
+
+
+def sdf_value_pallas_grid(
+    params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray, dtype=None,
+    max_level: int | None = None,
+) -> jnp.ndarray:
+    """Grid-mode fused-Pallas SDF sweeps: the hash-grid gather/interp stays
+    an XLA op (the fastest gather primitive on this hardware — probe waves
+    7/8 closed every in-kernel alternative), its [PE | features] output
+    feeds the 2x256 trunk as ONE VMEM-resident kernel with the last layer
+    truncated to the sdf column (reference grid trunk: network.py:247-275).
+    Composes with the oct sweep cache and sweep_max_level."""
+    from ..ops.pallas_mlp import effective_linear_weights, fused_sdf_mlp_nograd
+
+    assert cfg.use_grid, "use sdf_value_pallas for MLP mode"
+    ws, bs = effective_linear_weights(params, cfg.num_layers)
+    ws[-1] = ws[-1][:, :1]
+    bs[-1] = bs[-1][:1]
+    inp = _net_input(params, cfg, x, max_level)
+    flat = inp.reshape(-1, inp.shape[-1])
+    out = fused_sdf_mlp_nograd(ws, bs, flat, cfg.skip_in, dtype=dtype)
     sdf = out[:, :1].reshape(*x.shape[:-1], 1)
     return _clamp_sdf(cfg, sdf, x)
 

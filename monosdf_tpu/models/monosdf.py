@@ -168,6 +168,14 @@ def render_rays(
                 params["implicit"], cfg.implicit, pts, dtype=sampler_dtype,
                 pe_in_kernel=cfg.sweep_pe_in_kernel,
             )[..., 0]
+    elif cfg.sampler_backend == "pallas" and cfg.implicit.use_grid:
+        from .fields import sdf_value_pallas_grid
+
+        def sampler_sdf(pts):
+            return sdf_value_pallas_grid(
+                params["implicit"], cfg.implicit, pts, dtype=sampler_dtype,
+                max_level=cfg.sweep_max_level,
+            )[..., 0]
     else:
         def sampler_sdf(pts):
             return sdf_value(
