@@ -56,9 +56,9 @@ class HashGridConfig:
     # (N, 2) f32 rows runs at ~62 ns/row ('rows', 807 ms) and is insensitive
     # to sorted/unique hints or batching; SCALAR rows run at ~12.8 ns, so
     # 'flat' (one scalar f32 scatter per channel, 2x ~165 ms) is the fastest
-    # exact encoding. 'c64' (both channels packed into one complex64 row)
-    # measured 1910 ms — XLA decomposes complex scatters pathologically —
-    # and is kept only as a correctness-tested curiosity.
+    # exact encoding. (A 'c64' complex64-packed encoding measured 1910 ms —
+    # XLA decomposes complex scatters pathologically — and was removed in
+    # round 4; PERFORMANCE.md keeps the record.)
     # 'fold' (quad/oct layouts only): the corner-AFFINE backward — one
     # (8C)-channel row per (point, level) at the base cell index, folded
     # with 8 static per-level rolls (see _quad_take_fold) — 8x fewer
@@ -181,9 +181,10 @@ def _table_take(emb: jnp.ndarray, idx: jnp.ndarray, scatter_impl: str):
     (hashencoder.cu:375-595).
 
     The transpose replaces XLA's default (N, C)-row scatter-add (measured
-    ~62 ns/row on v5e) with scalar-row encodings (~12.8 ns/row):
-    'c64' carries both channels of one update as a single complex64 scalar
-    and accumulates exactly in f32 regardless of the gather dtype.
+    ~62 ns/row on v5e) with scalar-row encodings (~12.8 ns/row). (A 'c64'
+    encoding — both channels packed into one complex64 scalar — measured
+    1910 ms/12.8M updates, XLA decomposes complex scatters pathologically;
+    removed in round 4, record in PERFORMANCE.md.)
     """
     from jax.custom_derivatives import linear_call
 
@@ -194,13 +195,7 @@ def _table_take(emb: jnp.ndarray, idx: jnp.ndarray, scatter_impl: str):
 
     def bwd(ix, ct):  # ct: (N, C) in emb.dtype -> d_emb (T, C)
         ctf = ct.astype(jnp.float32)
-        if scatter_impl == "c64" and C == 2:
-            packed = jax.lax.complex(ctf[:, 0], ctf[:, 1])
-            acc = jnp.zeros((T,), jnp.complex64).at[ix].add(
-                packed, mode="promise_in_bounds"
-            )
-            d = jnp.stack([jnp.real(acc), jnp.imag(acc)], axis=-1)
-        elif scatter_impl in ("flat", "c64"):
+        if scatter_impl == "flat":
             cols = [
                 jnp.zeros((T,), jnp.float32).at[ix].add(
                     ctf[:, c], mode="promise_in_bounds"

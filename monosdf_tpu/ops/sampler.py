@@ -62,16 +62,16 @@ class SamplerConfig:
     # this (it is carried, unused, from VolSDF); kept for capability parity.
     inverse_sphere_bg: bool = False
     N_samples_inverse_sphere: int = 0
-    # 'jnp' | 'pallas' | 'pallas_fused': backend for the per-iteration
-    # beta-bisection / error-bound / pdf machinery. 'pallas' fuses the 11
-    # error-bound evaluations + density/transmittance/pdf into ONE kernel
-    # per iteration (ops/pallas_sampler.py) with cumsums as triangular MXU
+    # 'jnp' | 'pallas': backend for the per-iteration beta-bisection /
+    # error-bound / pdf machinery. 'pallas' fuses the 11 error-bound
+    # evaluations + density/transmittance/pdf into ONE kernel per
+    # iteration (ops/pallas_sampler.py) with cumsums as triangular MXU
     # matmuls at the machinery_dtype; outputs steer sample placement only
     # (stop-gradient'ed, same deviation class as the bf16 sweeps). 'jnp'
-    # remains the torch-parity oracle. 'pallas_fused' additionally absorbs
-    # the sort-merge and the inverse-CDF draw into the same kernel
-    # (ops/pallas_sampler_fused.py); requires N_samples_eval == 128,
-    # R % 128 == 0, N_samples <= 128 (else falls back to 'pallas').
+    # remains the torch-parity oracle. (A 'pallas_fused' variant that also
+    # absorbed the sort-merge + inverse-CDF draw measured 22.8 vs 21.6
+    # ms/step — its kernel cost exceeded the glue it absorbed; removed in
+    # round 4, record in PERFORMANCE.md.)
     machinery: str = "jnp"
     machinery_dtype: str = "bfloat16"
 
@@ -381,80 +381,7 @@ def error_bound_z_vals(
     samples = z_vals  # final-draw carrier (matches reference variable role)
 
     # --- Algorithm 1, statically unrolled -----------------------------------
-    # The fully-fused kernel needs every merged width to be a 128 multiple
-    # (N_samples_eval == 128), ray blocks of 128 (R % 128 == 0), and the
-    # final draw to fit one u tile (N_samples <= 128); other configs fall
-    # through to the per-iteration machinery kernel below.
-    fused_ok = (
-        cfg.N_samples_eval == 128 and R % 128 == 0 and cfg.N_samples <= 128
-    )
-    if cfg.machinery == "pallas_fused" and fused_ok:
-        # Fully-fused per-iteration kernel (ops/pallas_sampler_fused.py):
-        # merge + bisection + bounds + inverse-CDF draw in ONE Pallas call,
-        # sample-major. Upsampling draws use DESCENDING linspace u — the
-        # same u set as the oracle (state parity as a set), emitted in the
-        # order the next merge's bitonic input needs. u is passed RAY-MAJOR
-        # padded to 128 (the kernel's tile-gather width; pad draws are
-        # sliced off). Requires N_samples_eval == 128 (every merged width
-        # is then a 128 multiple) — other configs fall through to the
-        # per-iteration machinery kernel below.
-        from .pallas_sampler_fused import sampler_fused_iter_nograd
-
-        mdt = jnp.dtype(cfg.machinery_dtype)
-        zT = z_vals.T  # (N, R) sample-major
-        sT = sdf.T
-        beta_T = beta[None, :]  # (1, R)
-        znT = snT = None
-        for it in range(cfg.max_total_iters):
-            last = it == cfg.max_total_iters - 1
-            if last:
-                m_draw = cfg.N_samples
-                if training:
-                    u_row = jax.random.uniform(
-                        k_final, (R, cfg.N_samples), dtype=dtype
-                    )
-                else:
-                    u_row = jnp.tile(
-                        jnp.linspace(0.0, 1.0, cfg.N_samples, dtype=dtype)[
-                            None, :
-                        ],
-                        (R, 1),
-                    )
-            else:
-                m_draw = cfg.N_samples_eval
-                u_row = jnp.tile(
-                    jnp.linspace(1.0, 0.0, cfg.N_samples_eval, dtype=dtype)[
-                        None, :
-                    ],
-                    (R, 1),
-                )
-            if m_draw < 128:
-                u_row = jnp.concatenate(
-                    [u_row, jnp.full((R, 128 - m_draw), 0.5, dtype)], axis=1
-                )
-            zT, sT, beta_T, draw_T = sampler_fused_iter_nograd(
-                zT, sT, znT, snT, beta_T, beta0, u_row,
-                eps=cfg.eps, add_tiny=cfg.add_tiny, last=last,
-                beta_iters=cfg.beta_iters, dtype=mdt,
-            )
-            draw_T = draw_T[:m_draw]
-            if not last:
-                pts = (
-                    rays_o[None, :, :]
-                    + draw_T[:, :, None] * rays_d[None, :, :]
-                )  # (M, R, 3)
-                snT = jax.lax.stop_gradient(sdf_fn(pts))
-                znT = draw_T
-            else:
-                samples = draw_T.T
-        z_vals = zT.T  # final merged state, row-major for the extra draw
-        return _final_tail(
-            z_vals, samples, rays_o, rays_d, cfg, k_extra, k_eik, training
-        )
-
-    use_pallas_machinery = cfg.machinery == "pallas" or (
-        cfg.machinery == "pallas_fused" and not fused_ok
-    )
+    use_pallas_machinery = cfg.machinery == "pallas"
     for it in range(cfg.max_total_iters):
         last = it == cfg.max_total_iters - 1
         if use_pallas_machinery:

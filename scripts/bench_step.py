@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--table_dtype", default="bfloat16",
                     help="hash-table gather dtype (grid mode)")
     ap.add_argument("--scatter", default="flat",
-                    help="table-grad scatter impl: flat|c64|rows (grid mode)")
+                    help="table-grad scatter impl: flat|rows|fold (grid mode)")
     ap.add_argument("--hash_scheme", default="xor", help="xor|add (grid mode)")
     ap.add_argument("--layout", default="rows",
                     help="gather layout: rows|quad (grid mode; quad needs add)")

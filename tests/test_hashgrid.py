@@ -158,8 +158,8 @@ class TestHashGrid:
         assert abs(float(ds(0.0))) < 1e-6 and abs(float(ds(1.0))) < 1e-6
 
     def test_scatter_impls_identical_grads(self):
-        """The custom-transpose scatter encodings (c64 / flat scalar rows)
-        must reproduce XLA's native row scatter exactly, at first AND second
+        """The custom-transpose scatter encoding (flat scalar rows) must
+        reproduce XLA's native row scatter exactly, at first AND second
         order (the transpose runs inside the eikonal grad-of-grad)."""
         import dataclasses as dc
 
@@ -187,7 +187,7 @@ class TestHashGrid:
             )
 
         g1_rows, g2_rows = grads_for("rows")
-        for impl in ("c64", "flat"):
+        for impl in ("flat",):
             g1, g2 = grads_for(impl)
             np.testing.assert_allclose(
                 np.asarray(g1), np.asarray(g1_rows), rtol=0, atol=1e-6
@@ -198,8 +198,8 @@ class TestHashGrid:
 
     def test_bf16_table_grad_accumulates_f32(self):
         """table_dtype=bfloat16: values gather in bf16 but the table gradient
-        must accumulate in f32 (the c64 transpose) — many small contributions
-        to one entry must not collapse to bf16 rounding."""
+        must accumulate in f32 (_table_take's transpose) — many small
+        contributions to one entry must not collapse to bf16 rounding."""
         import dataclasses as dc
 
         cfg = dc.replace(self._cfg(), table_dtype="bfloat16")
