@@ -66,8 +66,10 @@ def main():
                 table_dtype="bfloat16", scatter_impl="fold",
                 hash_scheme="add", layout="quad",
                 # round-4 production encoding (PERFORMANCE.md round-4):
-                # Pallas fold/build kernels + flat 1-D table parameter
+                # Pallas fold/build kernels + flat 1-D table parameter +
+                # oct-served coarse sweeps (one 8C gather row/level-point)
                 fold_impl="pallas", build_impl="pallas", param_flat=True,
+                sweep_oct_levels=8,
             ),
             divide_factor=1.1, sdf_bounding_sphere=0.0,
         )

@@ -250,6 +250,39 @@ def sdf_value_pallas_grid(
     return _clamp_sdf(cfg, sdf, x)
 
 
+def sdf_feat_grad_pallas_grid(
+    params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray, dtype=None,
+    block: int = 512,
+):
+    """Grid-mode Pallas diff path: (sdf, features, grad_x sdf) with the
+    2x256 trunk's stacked primal+tangent forward AND hand-written backward
+    as one VMEM-resident kernel pair (ops/pallas_sdf_grad_grid.py). The
+    hash encode and its three spatial basis JVPs stay XLA-side
+    (jax.linearize shares the gathered rows across tangents); the kernel's
+    input cotangents flow back through the linearization's transpose into
+    the fold scatter, so table gradients — including the eikonal
+    grad-of-grad — are exact (parity-tested vs sdf_feat_grad)."""
+    from ..ops.pallas_mlp import effective_linear_weights
+    from ..ops.pallas_sdf_grad_grid import sdf_mlp_with_grad_in
+
+    assert cfg.use_grid, "use sdf_feat_grad_pallas for MLP mode"
+    ws, bs = effective_linear_weights(params, cfg.num_layers)
+
+    def inp_fn(y):
+        return _net_input(params, cfg, y)
+
+    inp, jvp_fn = jax.linearize(inp_fn, x)
+    basis = jnp.eye(3, dtype=x.dtype)
+    tg = jnp.stack(
+        [jvp_fn(jnp.broadcast_to(bv, x.shape)) for bv in basis], axis=0
+    )
+    dtype_name = "" if dtype is None else jnp.dtype(dtype).name
+    sdf, feat, g = sdf_mlp_with_grad_in(
+        tuple(ws), tuple(bs), inp, tg, dtype_name, block
+    )
+    return _clamp_sdf(cfg, sdf, x), feat, g
+
+
 def sdf_feat_grad(params: dict, cfg: ImplicitNetConfig, x: jnp.ndarray, dtype=None):
     """x (..., 3) -> (sdf (...,1), features (...,F), grad_x sdf (...,3)).
 

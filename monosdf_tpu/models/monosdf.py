@@ -227,6 +227,12 @@ def render_rays(
         all_eik = jnp.concatenate([eik_points, neighbours], axis=0)
 
     n_main = points_flat.shape[0]
+    # grid-mode pallas diff path: hash encode + basis JVPs stay XLA-side,
+    # the 2x256 trunk's stacked fwd+bwd runs as one kernel pair
+    # (ops/pallas_sdf_grad_grid.py); eikonal batch folds like the jnp path
+    use_pallas_diff_grid = (
+        cfg.diff_backend == "pallas" and cfg.implicit.use_grid
+    )
     fold_eik = training and use_pallas_diff and cfg.fold_eikonal
     # Grid mode applies no bounding-sphere clamp (reference
     # ImplicitNetworkGrid), so the eikonal batch can fold into the main
@@ -237,7 +243,22 @@ def render_rays(
         training and not use_pallas_diff and cfg.fold_eikonal
         and cfg.implicit.use_grid
     )
-    if use_pallas_diff:
+    if use_pallas_diff_grid:
+        from .fields import sdf_feat_grad_pallas_grid
+
+        pts_in = (
+            jnp.concatenate([points_flat, all_eik], axis=0)
+            if fold_eik_jnp else points_flat
+        )
+        sdf, feature_vectors, gradients = sdf_feat_grad_pallas_grid(
+            params["implicit"], cfg.implicit, pts_in, dtype=main_dtype
+        )
+        if fold_eik_jnp:
+            grad_theta_all = gradients[n_main:]
+            sdf = sdf[:n_main]
+            feature_vectors = feature_vectors[:n_main]
+            gradients = gradients[:n_main]
+    elif use_pallas_diff:
         from .fields import sdf_feat_grad_pallas
 
         pts_in = (
