@@ -41,6 +41,51 @@ def fibonacci_sphere(n: int, radius: float) -> np.ndarray:
     )).astype(np.float32)
 
 
+# sphere+torus union constants — mirror scripts/make_synthetic_scene.py
+_U_SPH_C = np.array([-0.36, 0.05, 0.0])
+_U_SPH_R = 0.25
+_U_TOR_C = np.array([0.34, -0.02, 0.0])
+_U_TOR_R, _U_TOR_r = 0.24, 0.1
+
+
+def union_surface(n: int, seed: int = 0):
+    """GT surface points AND normals of the sphere+torus union (points
+    inside the other solid rejected)."""
+    rng = np.random.default_rng(seed)
+
+    def sdf(p):
+        ds = np.linalg.norm(p - _U_SPH_C, axis=-1) - _U_SPH_R
+        q = p - _U_TOR_C
+        rho = np.sqrt(q[..., 0] ** 2 + q[..., 1] ** 2)
+        dt = np.sqrt((rho - _U_TOR_R) ** 2 + q[..., 2] ** 2) - _U_TOR_r
+        return np.minimum(ds, dt)
+
+    pts, nrm = [], []
+    while sum(len(p) for p in pts) < n:
+        v = rng.normal(size=(n, 3))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        ps, ns = _U_SPH_C + _U_SPH_R * v, v
+        theta = rng.uniform(0, 2 * np.pi, n)
+        phi = rng.uniform(0, 2 * np.pi, n)
+        rho = _U_TOR_R + _U_TOR_r * np.cos(theta)
+        pt = _U_TOR_C + np.stack(
+            [rho * np.cos(phi), rho * np.sin(phi), _U_TOR_r * np.sin(theta)],
+            -1,
+        )
+        nt = np.stack(
+            [np.cos(theta) * np.cos(phi), np.cos(theta) * np.sin(phi),
+             np.sin(theta)], -1,
+        )
+        cand = np.concatenate([ps, pt], axis=0)
+        cn = np.concatenate([ns, nt], axis=0)
+        keep = sdf(cand) > -1e-4
+        pts.append(cand[keep])
+        nrm.append(cn[keep])
+    p = np.concatenate(pts, axis=0)[:n].astype(np.float32)
+    g = np.concatenate(nrm, axis=0)[:n].astype(np.float32)
+    return p, g
+
+
 def run_cli(module_main, argv):
     old = sys.argv
     sys.argv = argv
@@ -65,6 +110,9 @@ def main():
                     help="train.expname of --conf (names the run dir)")
     ap.add_argument("--tag", default="",
                     help="artifact suffix (e.g. 'grids' -> results_grids.json)")
+    ap.add_argument("--shape", default="sphere", choices=("sphere", "union"),
+                    help="GT geometry: analytic sphere, or the textured "
+                    "sphere+torus union scene (VERDICT r3 #5)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -75,17 +123,21 @@ def main():
     data_root = os.path.join(args.root, "data")
     exps_root = os.path.join(args.root, "exps")
     eval_dir = os.path.join(args.root, "eval")
-    scene_dir = os.path.join(data_root, "sphere_scene")
+    scene_dir = os.path.join(data_root, f"{args.shape}_scene")
 
     if not os.path.isdir(scene_dir):
         import importlib
 
         gen = importlib.import_module("make_synthetic_scene")
-        run_cli(gen.main, [
+        argv = [
             "make_synthetic_scene", data_root,
             "--n", str(args.views), "--res", str(args.res),
-            "--radius", str(GT_RADIUS),
-        ])
+        ]
+        if args.shape == "union":
+            argv += ["--shape", "union"]
+        else:
+            argv += ["--radius", str(GT_RADIUS)]
+        run_cli(gen.main, argv)
 
     run_dir = os.path.join(exps_root, f"quality-{args.expname}")
     t_train = 0.0
@@ -121,12 +173,18 @@ def main():
     mesh_path = os.path.join(eval_dir, f"surface_{args.mesh_res}.ply")
     verts, faces = read_ply(mesh_path)
     pp, pn = sample_mesh_surface(np.asarray(verts), np.asarray(faces), 200_000)
-    pg = fibonacci_sphere(200_000, GT_RADIUS)
-    gn = pg / GT_RADIUS
+    if args.shape == "union":
+        pg, gn = union_surface(200_000)
+        radius_err = float("nan")  # no single-radius notion for the union
+    else:
+        pg = fibonacci_sphere(200_000, GT_RADIUS)
+        gn = pg / GT_RADIUS
+        radius_err = float(
+            np.abs(np.linalg.norm(pp, axis=-1) - GT_RADIUS).mean()
+        )
     acc, comp, chamfer = chamfer_distance(pp, pg)
     prec, rec, fs = f_score(pp, pg, threshold=0.05)
     nc = normal_consistency(pp, pn, pg, gn)
-    radius_err = float(np.abs(np.linalg.norm(pp, axis=-1) - GT_RADIUS).mean())
 
     # ---- curves from metrics.jsonl ----
     rows = []
