@@ -81,9 +81,12 @@ def union_surface(n: int, seed: int = 0):
         keep = sdf(cand) > -1e-4
         pts.append(cand[keep])
         nrm.append(cn[keep])
-    p = np.concatenate(pts, axis=0)[:n].astype(np.float32)
-    g = np.concatenate(nrm, axis=0)[:n].astype(np.float32)
-    return p, g
+    p = np.concatenate(pts, axis=0)
+    g = np.concatenate(nrm, axis=0)
+    # interleave components before truncation — a plain [:n] would keep
+    # only the first (sphere) block of the concatenated candidates
+    perm = rng.permutation(len(p))[:n]
+    return p[perm].astype(np.float32), g[perm].astype(np.float32)
 
 
 def run_cli(module_main, argv):

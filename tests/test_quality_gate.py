@@ -252,7 +252,10 @@ def _union_surface_samples(n=20000, seed=0):
         )
         cand = np.concatenate([ps, pt], axis=0)
         pts.append(cand[sdf(cand) > -1e-4])
-    return np.concatenate(pts, axis=0)[:n].astype(np.float32)
+    cand = np.concatenate(pts, axis=0)
+    # interleave components before truncation — a plain [:n] keeps only
+    # the first (sphere) block of the concatenated candidates
+    return cand[rng.permutation(len(cand))[:n]].astype(np.float32)
 
 
 class TestUnionQualityGate:
