@@ -115,7 +115,23 @@ def main():
     if not paths:
         return
 
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    try:
+        from tensorboard_plugin_profile.protobuf import xplane_pb2
+    except ImportError:
+        # no generated protos in this image — use the hand-rolled wire
+        # decoder instead (same per-op table)
+        import subprocess
+
+        print("(xplane_pb2 unavailable; falling back to xplane_dump.py)",
+              flush=True)
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "xplane_dump.py"),
+             sorted(paths)[-1]],
+            check=False,
+        )
+        return
 
     xspace = xplane_pb2.XSpace()
     with open(sorted(paths)[-1], "rb") as f:
