@@ -288,3 +288,35 @@ class TestUnionQualityGate:
         # ~0.135 after 900 CPU iters (vs the torus's <=0.08) — full
         # convergence is the TPU evidence run's job (QUALITY.md)
         assert chamfer <= 0.16, f"union Chamfer {chamfer:.3f} > 0.16"
+
+
+def test_union_gt_sampler_covers_both_components():
+    """Regression guard for the round-4 truncation bias: the GT sample set
+    must contain BOTH solids (a plain [:n] after concatenating
+    [sphere_pts, torus_pts] kept only the sphere block and silently
+    inflated accuracy by ~30x on a correct mesh)."""
+    pts = _union_surface_samples(n=4000, seed=1)
+    # component membership by nearest-solid
+    sph_c = np.array([-0.36, 0.05, 0.0])
+    tor_c = np.array([0.34, -0.02, 0.0])
+    ds = np.linalg.norm(pts - sph_c, axis=-1) - 0.25
+    q = pts - tor_c
+    rho = np.sqrt(q[:, 0] ** 2 + q[:, 1] ** 2)
+    dt = np.sqrt((rho - 0.24) ** 2 + q[:, 2] ** 2) - 0.1
+    frac_sphere = float((np.abs(ds) < np.abs(dt)).mean())
+    assert 0.2 < frac_sphere < 0.8, frac_sphere
+
+    import sys as _sys
+
+    _sys.path.insert(0, "scripts")
+    from quality_run import union_surface
+
+    pg, gn = union_surface(4000, seed=1)
+    ds = np.linalg.norm(pg - sph_c, axis=-1) - 0.25
+    q = pg - tor_c
+    rho = np.sqrt(q[:, 0] ** 2 + q[:, 1] ** 2)
+    dt = np.sqrt((rho - 0.24) ** 2 + q[:, 2] ** 2) - 0.1
+    frac_sphere = float((np.abs(ds) < np.abs(dt)).mean())
+    assert 0.2 < frac_sphere < 0.8, frac_sphere
+    # normals are unit and outward-consistent with the analytic SDF
+    assert np.allclose(np.linalg.norm(gn, axis=-1), 1.0, atol=1e-5)
