@@ -114,9 +114,19 @@ def main():
 
     scene = make_synthetic_sphere_scene(n_images=4, img_res=64)
     rng = np.random.default_rng(0)
-    batch = jax.tree_util.tree_map(
-        jnp.asarray, sample_ray_batch(scene, rng, NUM_RAYS)
-    )
+    # DISTINCT ray batch per timed iteration (host RNG, materialized on
+    # device before the timing window): training draws fresh random pixels
+    # every step, so timing ITERS copies of one fixed batch would let the
+    # hash-grid steps gather identical table rows each iteration — an
+    # artifact the round-4 verdict flagged (fixed-batch official 7,812
+    # rays/s vs 6,349 sustained in the 20k training run).
+    batches = [
+        jax.tree_util.tree_map(
+            jnp.asarray, sample_ray_batch(scene, rng, NUM_RAYS)
+        )
+        for _ in range(ITERS)
+    ]
+    batch = batches[0]
 
     # NOTE: in this environment block_until_ready does not wait for remote
     # execution; only a host fetch does. Timing therefore runs ITERS chained
@@ -134,10 +144,13 @@ def main():
     # costs a host->device transfer per dispatch
     keys = [jax.random.PRNGKey(100 + i) for i in range(ITERS)]
     _ = float(keys[-1][0])
+    # force every batch onto the device before the timing window
+    for b in batches:
+        _ = float(jax.tree_util.tree_leaves(b)[0].ravel()[0])
 
     t0 = time.perf_counter()
     for i in range(ITERS):
-        state, metrics = step(state, batch, keys[i])
+        state, metrics = step(state, batches[i], keys[i])
     _ = float(metrics["loss"])
     dt = time.perf_counter() - t0 - rt
 

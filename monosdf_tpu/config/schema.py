@@ -135,9 +135,26 @@ def build_configs(conf: dict) -> ExperimentConfig:
     #       rgb_backend, sampler_machinery }
     tpu = conf.get("tpu", {})
     _sweep_max = int(_get(tpu, "sweep_max_level", 0)) or None
-    if bool(_get(tpu, "sweep_oct", False)) and _sweep_max:
+    if bool(_get(tpu, "sweep_oct", False)):
         # serve the coarse sweeps from a per-step oct cache (one 8C-row
-        # gather per level-point; HashGridConfig.sweep_oct_levels)
+        # gather per level-point; HashGridConfig.sweep_oct_levels). Fail
+        # loudly when the documented prerequisites are unmet — a silent
+        # no-op would benchmark the wrong path.
+        if not _sweep_max:
+            raise ValueError(
+                "tpu.sweep_oct requires tpu.sweep_max_level > 0 (the oct "
+                "cache serves the coarse-level sampler sweeps)"
+            )
+        if (
+            implicit.grid.layout != "quad"
+            or implicit.grid.scatter_impl != "fold"
+        ):
+            raise ValueError(
+                "tpu.sweep_oct requires the quad+fold encoding "
+                f"(got layout={implicit.grid.layout!r}, "
+                f"scatter_impl={implicit.grid.scatter_impl!r}); see "
+                "HashGridConfig.sweep_oct_levels"
+            )
         import dataclasses as _dc
 
         implicit = _dc.replace(

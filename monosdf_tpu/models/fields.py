@@ -266,6 +266,14 @@ def sdf_feat_grad_pallas_grid(
     from ..ops.pallas_sdf_grad_grid import sdf_mlp_with_grad_in
 
     assert cfg.use_grid, "use sdf_feat_grad_pallas for MLP mode"
+    # the kernel is built with empty skips; a reachable skip (index below
+    # num_layers-1) would silently diverge from the jnp path (note the
+    # asymmetry with sdf_value_pallas_grid, whose fused_sdf_mlp_nograd
+    # handles skips)
+    assert not any(s < cfg.num_layers - 1 for s in cfg.skip_in), (
+        f"sdf_feat_grad_pallas_grid does not support skip connections "
+        f"(skip_in={cfg.skip_in}); use diff_backend='jnp'"
+    )
     ws, bs = effective_linear_weights(params, cfg.num_layers)
 
     def inp_fn(y):

@@ -203,9 +203,17 @@ def _table_take(emb: jnp.ndarray, idx: jnp.ndarray, scatter_impl: str):
                 for c in range(C)
             ]
             d = jnp.stack(cols, axis=-1)
-        else:  # 'rows' — XLA's native (N, C) row scatter
+        elif scatter_impl == "rows":  # XLA's native (N, C) row scatter
             d = jnp.zeros((T, C), jnp.float32).at[ix].add(
                 ctf, mode="promise_in_bounds"
+            )
+        else:
+            # fail loudly: a stale conf (e.g. the removed 'c64') silently
+            # routing into 'rows' would run a measured-5x-slower path
+            raise ValueError(
+                f"unknown scatter_impl {scatter_impl!r} for the per-corner "
+                "gather; valid here: 'flat', 'rows' ('fold' requires "
+                "layout='quad'/'oct'; 'c64' was removed in round 4)"
             )
         return d.astype(emb.dtype)
 
@@ -262,13 +270,21 @@ def build_quad_table(params: dict, cfg: HashGridConfig) -> jnp.ndarray:
     """
     assert cfg.hash_scheme == "add", "quad layout requires the additive scheme"
     emb = params["embeddings"]
-    if cfg.table_dtype != "float32":
-        emb = emb.astype(jnp.dtype(cfg.table_dtype))
-    emb = _emb2d(emb, cfg.level_dim)
+    C = cfg.level_dim
+    flat = emb.ndim == 1
     shifts = _level_shifts(cfg)
     blocks = []
     for (off, hms, _, _), (s1, _) in zip(cfg.level_params(), shifts):
-        blk = jax.lax.slice_in_dim(emb, off, off + hms, axis=0)
+        # flat leaf: slice first, reshape the level block only (see
+        # build_oct_table's layout note)
+        if flat:
+            blk = jax.lax.slice_in_dim(
+                emb, C * off, C * (off + hms), axis=0
+            ).reshape(hms, C)
+        else:
+            blk = jax.lax.slice_in_dim(emb, off, off + hms, axis=0)
+        if cfg.table_dtype != "float32":
+            blk = blk.astype(jnp.dtype(cfg.table_dtype))
         blocks.append(
             jnp.concatenate(
                 [
@@ -558,6 +574,16 @@ def with_table_cache(params: dict, cfg: HashGridConfig) -> dict:
     XLA build is worth sharing. Only the quad+fold path consumes the cache;
     other layouts ignore it. Gradients are exact regardless: the fold
     transpose in _quad_take_fold is the table gradient path."""
+    if cfg.layout == "oct" and cfg.scatter_impl == "fold":
+        # full-schedule oct cache (VERDICT r4 #1a re-measure): ONE 8C-row
+        # gather per level-point in the DIFFERENTIATED path too, instead of
+        # quad's two 4C rows. The truncated coarse sweeps gather from the
+        # same table's level-prefix rows (identical offsets), so no
+        # separate sweep cache is needed. XLA build (8 rolls + concat per
+        # level, sequential HBM); gradients still flow through the fold
+        # transpose in _oct_take_fold.
+        oct_t = build_oct_table(params, cfg)
+        return {**params, "_oct_full": jax.lax.stop_gradient(oct_t)}
     if cfg.layout != "quad" or cfg.scatter_impl != "fold":
         return params
     if cfg.build_impl == "pallas" and _kernels_eligible(cfg):
@@ -644,13 +670,24 @@ def build_oct_table(params: dict, cfg: HashGridConfig) -> jnp.ndarray:
     the same way."""
     assert cfg.hash_scheme == "add", "oct layout requires the additive scheme"
     emb = params["embeddings"]
-    if cfg.table_dtype != "float32":
-        emb = emb.astype(jnp.dtype(cfg.table_dtype))
-    emb = _emb2d(emb, cfg.level_dim)
+    C = cfg.level_dim
+    flat = emb.ndim == 1
     shifts = _level_shifts(cfg)
     blocks = []
     for (off, hms, _, _), (s1, s2) in zip(cfg.level_params(), shifts):
-        blk = jax.lax.slice_in_dim(emb, off, off + hms, axis=0)
+        # flat leaf: slice the 1-D vector FIRST, then view the level block
+        # as (hms, C) — reshaping the whole flat table to a narrow (T, 2)
+        # view up front measured 6.7 ms/step on a v5e (round-5 profile),
+        # even when the build (e.g. the coarse sweep cache) consumes only
+        # a level prefix
+        if flat:
+            blk = jax.lax.slice_in_dim(
+                emb, C * off, C * (off + hms), axis=0
+            ).reshape(hms, C)
+        else:
+            blk = jax.lax.slice_in_dim(emb, off, off + hms, axis=0)
+        if cfg.table_dtype != "float32":
+            blk = blk.astype(jnp.dtype(cfg.table_dtype))
         blocks.append(
             jnp.concatenate(
                 # plain jnp.roll — see build_quad_table's layout note
@@ -804,10 +841,16 @@ def _encode_oct(params: dict, cfg: HashGridConfig, x01: jnp.ndarray):
     rows = (base % hms_arr[:, None]).astype(jnp.int32) + off_arr[:, None]
 
     if cfg.scatter_impl == "fold":
-        # the sweep cache only matches the TRUNCATED (sweep_cfg) schedule
-        cache = params.get("_oct_sweep")
-        if cache is not None and cfg.num_levels != cfg.sweep_oct_levels:
-            cache = None
+        # cache preference: the FULL-schedule oct cache serves every call
+        # (truncated sweep schedules gather its level-prefix rows — the
+        # per-level offsets of a schedule prefix are identical); the
+        # quad-mode "_oct_sweep" cache only matches the truncated
+        # (sweep_cfg) schedule it was built for
+        cache = params.get("_oct_full")
+        if cache is None:
+            cache = params.get("_oct_sweep")
+            if cache is not None and cfg.num_levels != cfg.sweep_oct_levels:
+                cache = None
         vals = _oct_take_fold(params["embeddings"], cfg, rows, cache)
     else:
         oct_t = build_oct_table(params, cfg)

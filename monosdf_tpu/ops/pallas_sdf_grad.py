@@ -233,7 +233,8 @@ def _clamp_fwd(x_blk, Zs, gcols_pad, C_ref, sphere_scale, bounding_sphere,
 def _fwd_pallas(ws, bs, x, skip_in: tuple, multires: int, dtype, block: int,
                 interpret: bool | None, save_z: bool,
                 bounding_sphere: float = 0.0, sphere_scale: float = 1.0,
-                wide_grad: bool = False, clamp_rows: int = -1):
+                wide_grad: bool = False, clamp_rows: int = -1,
+                sched: str = "fused"):
     """(sdf (N, 1) f32, feat (N, d_out-1) act-dtype, grad (N, 3) f32)[, zs]:
     the stacked primal+tangent forward as one VMEM-resident kernel over raw
     points x (N, 3).
@@ -286,35 +287,72 @@ def _fwd_pallas(ws, bs, x, skip_in: tuple, multires: int, dtype, block: int,
         row = jax.lax.broadcasted_iota(jnp.int32, (4 * b, 1), 0)
         primal_row = (row < b).astype(jnp.float32)
 
-        A0 = _a0_from_x(x_ref, G_ref, c_ref)
-        A = A0
-        for l in range(L - 1):
-            if l in skip_in:
-                A = jnp.concatenate(
-                    [A[:, :out_true[l - 1]], A0[:, :d0]], axis=-1
-                ) / sqrt2
-                A = jnp.pad(A, ((0, 0), (0, in_pad[l] - in_true[l])))
-            Z = jax.lax.dot_general(
-                A.astype(op_dtype), w_refs[l][:].astype(op_dtype),
+        def dotp(a, w_):
+            return jax.lax.dot_general(
+                a.astype(op_dtype), w_.astype(op_dtype),
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            ) + primal_row * b_refs[l][:]
-            if save_z:
-                z_refs[l][:] = Z.astype(act_dtype)
-            h, s = _gate100(Z[:b])
-            h = _mask_lanes(h, out_true[l])
-            T = jnp.concatenate([s, s, s], axis=0) * Z[b:]
-            A = jnp.concatenate([h, T], axis=0).astype(act_dtype)
+            )
+
+        A0 = _a0_from_x(x_ref, G_ref, c_ref)
+        if sched == "split":
+            # Scheduling experiment (VERDICT r4 #4): keep the primal and
+            # tangent row-blocks SEPARATE and issue each layer's tangent
+            # matmul (which needs only the cheap sigmoid s) BEFORE the
+            # primal log1p — exposing the softplus transcendental to the
+            # Mosaic scheduler as work that can hide under the (3b, d)
+            # tangent matmul instead of serializing the MXU behind it.
+            Ap, At = A0[:b], A0[b:]
+            for l in range(L - 1):
+                if l in skip_in:
+                    Ap = jnp.pad(
+                        jnp.concatenate(
+                            [Ap[:, :out_true[l - 1]], A0[:b, :d0]], axis=-1
+                        ) / sqrt2,
+                        ((0, 0), (0, in_pad[l] - in_true[l])),
+                    )
+                    At = jnp.pad(
+                        jnp.concatenate(
+                            [At[:, :out_true[l - 1]], A0[b:, :d0]], axis=-1
+                        ) / sqrt2,
+                        ((0, 0), (0, in_pad[l] - in_true[l])),
+                    )
+                Zt = dotp(At, w_refs[l][:])
+                Zp = dotp(Ap, w_refs[l][:]) + b_refs[l][:]
+                if save_z:
+                    z_refs[l][:] = jnp.concatenate(
+                        [Zp, Zt], axis=0
+                    ).astype(act_dtype)
+                # sigmoid from one exp; tangent block first (feeds the next
+                # tangent matmul), log1p afterwards
+                e = jnp.exp(100.0 * jnp.minimum(Zp, 0.2))
+                hot = Zp > 0.2
+                s = jnp.where(hot, 1.0, e / (1.0 + e))
+                At = (jnp.concatenate([s, s, s], axis=0) * Zt).astype(
+                    act_dtype
+                )
+                h = jnp.where(hot, Zp, jnp.log1p(e) / 100.0)
+                Ap = _mask_lanes(h, out_true[l]).astype(act_dtype)
+            A = jnp.concatenate([Ap, At], axis=0)
+        else:
+            A = A0
+            for l in range(L - 1):
+                if l in skip_in:
+                    A = jnp.concatenate(
+                        [A[:, :out_true[l - 1]], A0[:, :d0]], axis=-1
+                    ) / sqrt2
+                    A = jnp.pad(A, ((0, 0), (0, in_pad[l] - in_true[l])))
+                Z = dotp(A, w_refs[l][:]) + primal_row * b_refs[l][:]
+                if save_z:
+                    z_refs[l][:] = Z.astype(act_dtype)
+                h, s = _gate100(Z[:b])
+                h = _mask_lanes(h, out_true[l])
+                T = jnp.concatenate([s, s, s], axis=0) * Z[b:]
+                A = jnp.concatenate([h, T], axis=0).astype(act_dtype)
         # last layer split: primal rows need the full permuted
         # [features | sdf-block] width, tangent rows only the sdf block
         wl = w_refs[L - 1][:]
-        Zp = jax.lax.dot_general(
-            A[:b].astype(op_dtype), wl.astype(op_dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        ) + b_refs[L - 1][:]
-        Zt = jax.lax.dot_general(
-            A[b:].astype(op_dtype), wl[:, fpad:].astype(op_dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
+        Zp = dotp(A[:b], wl) + b_refs[L - 1][:]
+        Zt = dotp(A[b:], wl[:, fpad:])
         of_ref[:] = Zp[:, :fpad].astype(act_dtype)
         gcols = jnp.concatenate(
             [Zt[0:b, 0:1], Zt[b:2 * b, 0:1], Zt[2 * b:3 * b, 0:1]], axis=1
@@ -668,11 +706,14 @@ def _bwd_pallas(ws, bs, x, zs, c_sdf, c_feat, c_grad, skip_in: tuple,
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+)
 def sdf_mlp_with_grad(ws, bs, x, multires: int, skip_in: tuple,
                       dtype_name: str, block: int, save_z: bool = True,
                       bounding_sphere: float = 0.0, sphere_scale: float = 1.0,
-                      wide_grad: bool = False, clamp_rows: int = -1):
+                      wide_grad: bool = False, clamp_rows: int = -1,
+                      sched: str = "fused"):
     """(sdf (N, 1) f32, feat (N, d_out-1), grad (N, 3) f32) of the SDF MLP
     over raw points, Pallas fwd + backward. feat is at the activation dtype
     (bf16 under mixed precision — its consumers cast there anyway).
@@ -698,33 +739,35 @@ def sdf_mlp_with_grad(ws, bs, x, multires: int, skip_in: tuple,
         list(ws), list(bs), x, skip_in, multires, dtype, block, None,
         save_z=False, bounding_sphere=bounding_sphere,
         sphere_scale=sphere_scale, wide_grad=wide_grad, clamp_rows=clamp_rows,
+        sched=sched,
     )
     return sdf, feat, g
 
 
 def _fwd(ws, bs, x, multires, skip_in, dtype_name, block, save_z,
-         bounding_sphere, sphere_scale, wide_grad, clamp_rows=-1):
+         bounding_sphere, sphere_scale, wide_grad, clamp_rows=-1,
+         sched="fused"):
     dtype = jnp.dtype(dtype_name) if dtype_name else None
     if save_z:
         sdf, feat, g, flag, zs = _fwd_pallas(
             list(ws), list(bs), x, skip_in, multires, dtype, block, None,
             save_z=True, bounding_sphere=bounding_sphere,
             sphere_scale=sphere_scale, wide_grad=wide_grad,
-            clamp_rows=clamp_rows,
+            clamp_rows=clamp_rows, sched=sched,
         )
     else:
         sdf, feat, g, flag = _fwd_pallas(
             list(ws), list(bs), x, skip_in, multires, dtype, block, None,
             save_z=False, bounding_sphere=bounding_sphere,
             sphere_scale=sphere_scale, wide_grad=wide_grad,
-            clamp_rows=clamp_rows,
+            clamp_rows=clamp_rows, sched=sched,
         )
         zs = None
     return (sdf, feat, g), (ws, bs, x, zs, flag)
 
 
 def _bwd(multires, skip_in, dtype_name, block, save_z, bounding_sphere,
-         sphere_scale, wide_grad, clamp_rows, res, cts):
+         sphere_scale, wide_grad, clamp_rows, sched, res, cts):
     ws, bs, x, zs, flag = res
     c_sdf, c_feat, c_grad = cts  # (N, 1), (N, d_out-1), (N, 3) or (N, 128)
     dtype = jnp.dtype(dtype_name) if dtype_name else None

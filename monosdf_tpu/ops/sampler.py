@@ -75,6 +75,18 @@ class SamplerConfig:
     machinery: str = "jnp"
     machinery_dtype: str = "bfloat16"
 
+    def __post_init__(self):
+        # fail loudly on removed/unknown variants (e.g. a stale conf still
+        # saying 'pallas_fused') instead of silently running the jnp path
+        if self.machinery not in ("jnp", "pallas"):
+            raise ValueError(
+                f"unknown sampler machinery {self.machinery!r}; valid: "
+                "'jnp', 'pallas' ('pallas_fused' was measured-rejected and "
+                "removed in round 4 — see PERFORMANCE.md)"
+            )
+        if self.merge_impl not in ("auto", "sort", "bitonic", "onehot"):
+            raise ValueError(f"unknown merge_impl {self.merge_impl!r}")
+
     @property
     def far_value(self) -> float:
         return 2.0 * self.scene_bounding_sphere * 1.75 if self.far < 0 else self.far

@@ -217,14 +217,20 @@ def _as_param_trees(node, params):
 
     mu = node.mu
     if hasattr(mu, "shape"):  # raveled flat vector (FlatAdamState)
-        if np.asarray(mu).ndim != 1:
+        mu_arr, nu_arr = np.asarray(mu), np.asarray(node.nu)
+        if mu_arr.ndim != 1:
             return None
-        _, unravel = ravel_pytree(params)
+        flat_params, unravel = ravel_pytree(params)
+        n = flat_params.shape[0]
+        if mu_arr.shape[0] > n:
+            # round-5 fused layout zero-pads the moments to a 1024 multiple
+            # (flat_adam PAD); the tail carries no information
+            mu_arr, nu_arr = mu_arr[:n], nu_arr[:n]
         try:
             return (
                 node.count,
-                unravel(jnp.asarray(np.asarray(mu))),
-                unravel(jnp.asarray(np.asarray(node.nu))),
+                unravel(jnp.asarray(mu_arr)),
+                unravel(jnp.asarray(nu_arr)),
             )
         except (TypeError, ValueError):
             return None
@@ -278,7 +284,14 @@ def _migrate_opt_state(live, saved, params):
         mu, _ = ravel_pytree(mu_tree)
         nu, _ = ravel_pytree(nu_tree)
         if mu.shape != live.mu.shape:
-            return None
+            if live.mu.shape[0] > mu.shape[0]:
+                # live fused layout zero-pads to a 1024 multiple (flat_adam
+                # PAD); a pre-round-5 flat checkpoint restores by padding
+                pad = live.mu.shape[0] - mu.shape[0]
+                mu = jnp.pad(mu, (0, pad))
+                nu = jnp.pad(nu, (0, pad))
+            else:
+                return None
         return FlatAdamState(count, mu, nu)
     return _fill_counts_and_moments(live, count, mu_tree, nu_tree)
 

@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--no_save_z", action="store_true",
                     help="backward recomputes the forward instead of reading saved pre-activations")
+    ap.add_argument("--sched", default="fused", choices=("fused", "split"),
+                    help="forward-kernel schedule: 'split' issues each "
+                    "layer's tangent matmul before the primal log1p "
+                    "(VERDICT r4 #4 scheduling experiment)")
     args = ap.parse_args()
 
     import jax
@@ -61,14 +65,14 @@ def main():
         fwd = jax.jit(
             lambda ws, bs, x, b=b: sdf_mlp_with_grad(
                 ws, bs, x, cfg.multires, tuple(cfg.skip_in), dtype_name, b,
-                save_z,
+                save_z, 0.0, 1.0, False, -1, args.sched,
             )
         )
 
         def loss(ws, bs, x, b=b):
             sdf, feat, g = sdf_mlp_with_grad(
                 ws, bs, x, cfg.multires, tuple(cfg.skip_in), dtype_name, b,
-                save_z,
+                save_z, 0.0, 1.0, False, -1, args.sched,
             )
             return jnp.sum(sdf[:, 0] ** 2) + jnp.sum(g**2)
 
@@ -79,7 +83,7 @@ def main():
         gflop_f = args.n * 4 * 8 * 256 * 256 * 2 / 1e9
         print(json.dumps({
             "block": b, "n": args.n, "dtype": dtype_name or "float32",
-            "save_z": save_z,
+            "save_z": save_z, "sched": args.sched,
             "fwd_ms": round(ms_f, 2), "fwd_bwd_ms": round(ms_fb, 2),
             "fwd_tflops": round(gflop_f / ms_f, 1),
             "fwd_bwd_tflops": round(4 * gflop_f / ms_fb, 1),

@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--sweep_oct", action="store_true",
                     help="grid mode: serve the coarse sweeps from a "
                     "per-step oct cache (one 8C row/level-point)")
+    ap.add_argument("--sampler_iters", type=int, default=5,
+                    help="error-bounded sampler upsampling rounds "
+                    "(reference max_total_iters=5; the reference's own "
+                    "loop exits early on convergence, ray_sampler.py:125)")
     ap.add_argument("--f32", action="store_true", help="disable mixed precision")
     ap.add_argument("--unroll", type=int, default=1,
                     help="jit K chained train steps per dispatch (UNROLLED in "
@@ -100,8 +104,8 @@ def main():
         ),
         sampler=SamplerConfig(
             scene_bounding_sphere=1.1, N_samples=64, N_samples_eval=128,
-            N_samples_extra=32, max_total_iters=5, intersection="cube",
-            machinery=args.machinery,
+            N_samples_extra=32, max_total_iters=args.sampler_iters,
+            intersection="cube", machinery=args.machinery,
         ),
         scene_bounding_sphere=1.1,
         compute_dtype="bfloat16" if not args.f32 else "float32",

@@ -89,6 +89,28 @@ def union_surface(n: int, seed: int = 0):
     return p[perm].astype(np.float32), g[perm].astype(np.float32)
 
 
+_ROOM_HALF = 0.55  # mirror scripts/make_synthetic_scene.py --room_half
+
+
+def room_surface(n: int, half: float = _ROOM_HALF, seed: int = 0):
+    """GT surface points AND inward normals of the box room's interior
+    walls (the only surface an indoor reconstruction can see)."""
+    rng = np.random.default_rng(seed)
+    face_axis = rng.integers(0, 3, size=n)
+    face_sign = rng.choice([-1.0, 1.0], size=n)
+    uv = rng.uniform(-half, half, size=(n, 2))
+    pts = np.zeros((n, 3), np.float32)
+    nrm = np.zeros((n, 3), np.float32)
+    for ax in range(3):
+        sel = face_axis == ax
+        others = [a for a in range(3) if a != ax]
+        pts[sel, ax] = face_sign[sel] * half
+        pts[sel, others[0]] = uv[sel, 0]
+        pts[sel, others[1]] = uv[sel, 1]
+        nrm[sel, ax] = -face_sign[sel]
+    return pts, nrm
+
+
 def run_cli(module_main, argv):
     old = sys.argv
     sys.argv = argv
@@ -113,9 +135,11 @@ def main():
                     help="train.expname of --conf (names the run dir)")
     ap.add_argument("--tag", default="",
                     help="artifact suffix (e.g. 'grids' -> results_grids.json)")
-    ap.add_argument("--shape", default="sphere", choices=("sphere", "union"),
-                    help="GT geometry: analytic sphere, or the textured "
-                    "sphere+torus union scene (VERDICT r3 #5)")
+    ap.add_argument("--shape", default="sphere",
+                    choices=("sphere", "union", "room"),
+                    help="GT geometry: analytic sphere, the textured "
+                    "sphere+torus union scene (VERDICT r3 #5), or the "
+                    "indoor EST-cue box room (VERDICT r4 #2)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -136,8 +160,8 @@ def main():
             "make_synthetic_scene", data_root,
             "--n", str(args.views), "--res", str(args.res),
         ]
-        if args.shape == "union":
-            argv += ["--shape", "union"]
+        if args.shape in ("union", "room"):
+            argv += ["--shape", args.shape]
         else:
             argv += ["--radius", str(GT_RADIUS)]
         run_cli(gen.main, argv)
@@ -178,7 +202,10 @@ def main():
     pp, pn = sample_mesh_surface(np.asarray(verts), np.asarray(faces), 200_000)
     if args.shape == "union":
         pg, gn = union_surface(200_000)
-        radius_err = float("nan")  # no single-radius notion for the union
+        radius_err = None  # no single-radius notion for the union (JSON null)
+    elif args.shape == "room":
+        pg, gn = room_surface(200_000)
+        radius_err = None
     else:
         pg = fibonacci_sphere(200_000, GT_RADIUS)
         gn = pg / GT_RADIUS
@@ -234,7 +261,7 @@ def main():
     suffix = f"_{args.tag}" if args.tag else ""
     shutil.copy(
         mesh_path,
-        os.path.join(out, f"sphere{suffix}_surface_{args.mesh_res}.ply"),
+        os.path.join(out, f"{args.shape}{suffix}_surface_{args.mesh_res}.ply"),
     )
     with open(os.path.join(out, f"results{suffix}.json"), "w") as f:
         json.dump({"results": results, "curve": curve}, f, indent=2)

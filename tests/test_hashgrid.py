@@ -481,3 +481,118 @@ class TestOctLayout:
             dx[0, d] = eps
             fd = (float(f(x0 + dx)) - float(f(x0 - dx))) / (2 * eps)
             np.testing.assert_allclose(g[d], fd, rtol=2e-2, atol=1e-4)
+
+
+class TestOctFullCache:
+    """layout='oct' + scatter_impl='fold' with the FULL-schedule oct cache
+    (with_table_cache '_oct_full'): forward, table gradients and the
+    eikonal grad-of-grad must be exact vs the no-cache oct path, and a
+    TRUNCATED (sweep) schedule must gather correctly from the full cache's
+    level-prefix rows."""
+
+    def _cfg(self, **kw):
+        import dataclasses as dc
+
+        base = HashGridConfig(
+            num_levels=4, level_dim=2, base_resolution=4,
+            log2_hashmap_size=6, desired_resolution=32, hash_scheme="add",
+            layout="oct", scatter_impl="fold",
+        )
+        return dc.replace(base, **kw)
+
+    def test_cached_matches_uncached(self):
+        from monosdf_tpu.ops.hashgrid import with_table_cache
+
+        cfg = self._cfg()
+        params = init_hashgrid(jax.random.PRNGKey(2), cfg)
+        x = jnp.asarray(
+            np.random.default_rng(7).uniform(0.02, 0.98, size=(40, 3)),
+            jnp.float32,
+        )
+
+        def run(p):
+            return hash_encode_01(p, cfg, x)
+
+        a = np.asarray(run(params))
+        b = np.asarray(run(with_table_cache(params, cfg)))
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-9)
+
+        def tgrad(p):
+            return np.asarray(jax.grad(
+                lambda e: jnp.sum(
+                    hash_encode_01({**p, "embeddings": e}, cfg, x) ** 2
+                )
+            )(p["embeddings"]))
+
+        g_plain = tgrad(params)
+        g_cached = tgrad(with_table_cache(params, cfg))
+        np.testing.assert_allclose(g_cached, g_plain, rtol=1e-6, atol=1e-7)
+
+        def eik(p):
+            def inner(e):
+                g = jax.grad(
+                    lambda xx: jnp.sum(
+                        hash_encode_01({**p, "embeddings": e}, cfg, xx)
+                    )
+                )(x)
+                return jnp.sum(g ** 2)
+            return np.asarray(jax.grad(inner)(p["embeddings"]))
+
+        np.testing.assert_allclose(
+            eik(with_table_cache(params, cfg)), eik(params),
+            rtol=1e-6, atol=1e-6,
+        )
+
+    def test_truncated_sweep_from_full_cache(self):
+        import dataclasses as dc
+
+        from monosdf_tpu.ops.hashgrid import with_table_cache
+
+        cfg = self._cfg()
+        params = init_hashgrid(jax.random.PRNGKey(3), cfg)
+        x = jnp.asarray(
+            np.random.default_rng(9).uniform(0.02, 0.98, size=(24, 3)),
+            jnp.float32,
+        )
+        trunc = dc.replace(
+            cfg, num_levels=2, per_level_scale=cfg.scale,
+            desired_resolution=None,
+        )
+        # level geometry of the truncated schedule must equal the prefix
+        assert trunc.level_params() == cfg.level_params()[:2]
+        plain = np.asarray(hash_encode_01(params, trunc, x))
+        cached = np.asarray(
+            hash_encode_01(with_table_cache(params, cfg), trunc, x)
+        )
+        np.testing.assert_allclose(cached, plain, rtol=0, atol=1e-9)
+
+    def test_param_flat_cached(self):
+        from monosdf_tpu.ops.hashgrid import with_table_cache
+
+        # fold_impl='pallas' needs production-sized levels (hms >= 4096 for
+        # the kernel's window reads) — covered by tests/test_pallas_fold.py
+        cfg = self._cfg(param_flat=True, table_dtype="bfloat16")
+        params = init_hashgrid(jax.random.PRNGKey(4), cfg)
+        x = jnp.asarray(
+            np.random.default_rng(11).uniform(0.02, 0.98, size=(16, 3)),
+            jnp.float32,
+        )
+        ref_cfg = self._cfg(table_dtype="bfloat16")
+        ref_params = {"embeddings": params["embeddings"].reshape(-1, 2)}
+        a = np.asarray(hash_encode_01(ref_params, ref_cfg, x))
+        b = np.asarray(hash_encode_01(with_table_cache(params, cfg), cfg, x))
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-9)
+
+        def tgrad(p, c):
+            g = jax.grad(
+                lambda e: jnp.sum(
+                    hash_encode_01({**p, "embeddings": e}, c, x) ** 2
+                )
+            )(p["embeddings"])
+            return np.asarray(g).reshape(-1, 2)
+
+        np.testing.assert_allclose(
+            tgrad(with_table_cache(params, cfg), cfg),
+            tgrad(ref_params, ref_cfg),
+            rtol=1e-6, atol=1e-7,
+        )

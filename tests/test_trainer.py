@@ -185,7 +185,13 @@ class TestCheckpointMigration:
         dst = _find_adam_node(jax.device_get(restored.opt_state))
         src_mu, _ = ravel_pytree(src.mu)
         dst_mu, _ = ravel_pytree(dst.mu)
-        np.testing.assert_allclose(np.asarray(src_mu), np.asarray(dst_mu), atol=0)
+        src_mu, dst_mu = np.asarray(src_mu), np.asarray(dst_mu)
+        # the fused flavor zero-pads its moment vector to a 1024 multiple
+        # (flat_adam PAD); compare on the common (true-parameter) prefix
+        # and require any pad tail to be exactly zero
+        m = min(len(src_mu), len(dst_mu))
+        np.testing.assert_allclose(src_mu[:m], dst_mu[:m], atol=0)
+        assert not np.any(src_mu[m:]) and not np.any(dst_mu[m:])
         assert int(np.asarray(src.count)) == int(np.asarray(dst.count)) == 3
 
     def test_unmigratable_falls_back_with_warning(self, tmp_path):
