@@ -440,7 +440,7 @@ def _fwd_pallas(ws, bs, x, skip_in: tuple, multires: int, dtype, block: int,
 
 def _bwd_pallas(ws, bs, x, zs, c_sdf, c_feat, c_grad, skip_in: tuple,
                 multires: int, dtype, block: int, interpret: bool | None,
-                flag=None):
+                flag=None, sched: str = "fused"):
     """Hand-written VJP: returns (dws, dbs) at true shapes, natural order.
 
     x (N, 3) raw points; zs: the forward's per-layer pre-activations
@@ -548,14 +548,42 @@ def _bwd_pallas(ws, bs, x, zs, c_sdf, c_feat, c_grad, skip_in: tuple,
                 T = jnp.concatenate([s, s, s], axis=0) * Z[b:]
                 A = jnp.concatenate([h, T], axis=0).astype(act_dtype)
 
+        # gate cache (sched='cache' experiment, VERDICT r4 #4): each saved
+        # Z[l] is consumed TWICE — as the layer-(l+1) matmul input
+        # (a_in_of) and by the layer-l reverse chain (s, s2). Caching
+        # (s, U) per Z saves one exp per element per layer; only one
+        # layer's gates stay live at a time (the reverse sweep visits
+        # consumers back-to-back), so VMEM pressure is unchanged.
+        _gcache: dict = {}
+
+        def gates_of(lz):
+            """(e, hot, s, U) of stored Z[lz], computed once — ONE exp
+            serves the sigmoid, the softplus log1p AND the reverse chain."""
+            if lz not in _gcache:
+                Z = z_refs[lz][:].astype(jnp.float32)
+                z, U = Z[:b], Z[b:]
+                e = jnp.exp(100.0 * jnp.minimum(z, 0.2))
+                hot = z > 0.2
+                s = jnp.where(hot, 1.0, e / (1.0 + e))
+                _gcache[lz] = (z, e, hot, s, U)
+            return _gcache[lz]
+
+        use_cache = sched == "cache"
+
         def a_in_of(l):
             """The layer-l matmul input, recomputed from stored Z."""
             if l == 0:
                 return A0
-            Zp = z_refs[l - 1][:].astype(jnp.float32)
-            hp, sp = _gate100(Zp[:b])
-            hp = _mask_lanes(hp, out_true[l - 1])
-            Tp = jnp.concatenate([sp, sp, sp], axis=0) * Zp[b:]
+            if use_cache:
+                z, e, hot, sp, Up = gates_of(l - 1)
+                hp = jnp.where(hot, z, jnp.log1p(e) / 100.0)
+                hp = _mask_lanes(hp, out_true[l - 1])
+                Tp = jnp.concatenate([sp, sp, sp], axis=0) * Up
+            else:
+                Zp = z_refs[l - 1][:].astype(jnp.float32)
+                hp, sp = _gate100(Zp[:b])
+                hp = _mask_lanes(hp, out_true[l - 1])
+                Tp = jnp.concatenate([sp, sp, sp], axis=0) * Zp[b:]
             a = jnp.concatenate([hp, Tp], axis=0)
             if l in skip_in:
                 a = jnp.concatenate(
@@ -610,9 +638,12 @@ def _bwd_pallas(ws, bs, x, zs, c_sdf, c_feat, c_grad, skip_in: tuple,
         ct_A = to_prev_ct(ct_Ain, L - 1)
 
         for l in range(L - 2, -1, -1):
-            Z = z_refs[l][:].astype(jnp.float32)
-            z, U = Z[:b], Z[b:]
-            _, s = _gate100(z)
+            if use_cache:
+                _, _, _, s, U = gates_of(l)
+            else:
+                Z = z_refs[l][:].astype(jnp.float32)
+                z, U = Z[:b], Z[b:]
+                _, s = _gate100(z)
             s2 = 100.0 * s * (1.0 - s)
             ct_h, ct_T = ct_A[:b], ct_A[b:]
             ct_sum = (
@@ -773,7 +804,7 @@ def _bwd(multires, skip_in, dtype_name, block, save_z, bounding_sphere,
     dtype = jnp.dtype(dtype_name) if dtype_name else None
     dws, dbs = _bwd_pallas(
         list(ws), list(bs), x, zs, c_sdf, c_feat, c_grad, skip_in, multires,
-        dtype, block, None, flag=flag,
+        dtype, block, None, flag=flag, sched=sched,
     )
     return (
         tuple(dw.astype(w.dtype) for dw, w in zip(dws, ws)),

@@ -25,10 +25,12 @@ def main():
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--no_save_z", action="store_true",
                     help="backward recomputes the forward instead of reading saved pre-activations")
-    ap.add_argument("--sched", default="fused", choices=("fused", "split"),
-                    help="forward-kernel schedule: 'split' issues each "
-                    "layer's tangent matmul before the primal log1p "
-                    "(VERDICT r4 #4 scheduling experiment)")
+    ap.add_argument("--sched", default="fused", choices=("fused", "split", "cache"),
+                    help="kernel schedule experiments (VERDICT r4 #4): 'split' "
+                    "issues each fwd layer's tangent matmul before the "
+                    "primal log1p; 'cache' computes each saved-Z block's "
+                    "gates once in the backward (one exp serves sigmoid + "
+                    "softplus + reverse chain)")
     args = ap.parse_args()
 
     import jax

@@ -90,6 +90,24 @@ def union_surface(n: int, seed: int = 0):
 
 
 _ROOM_HALF = 0.55  # mirror scripts/make_synthetic_scene.py --room_half
+_TOR_R, _TOR_r = 0.4, 0.15  # mirror --torus_R/--torus_r defaults (axis = y)
+
+
+def torus_surface(n: int, seed: int = 0):
+    """GT surface points AND normals of the genus-1 torus
+    (make_synthetic_scene.py torus_sdf: rho in the xz plane)."""
+    rng = np.random.default_rng(seed)
+    theta = rng.uniform(0, 2 * np.pi, n)  # tube angle
+    phi = rng.uniform(0, 2 * np.pi, n)  # around the axis
+    rho = _TOR_R + _TOR_r * np.cos(theta)
+    pts = np.stack(
+        [rho * np.cos(phi), _TOR_r * np.sin(theta), rho * np.sin(phi)], -1
+    ).astype(np.float32)
+    nrm = np.stack(
+        [np.cos(theta) * np.cos(phi), np.sin(theta),
+         np.cos(theta) * np.sin(phi)], -1
+    ).astype(np.float32)
+    return pts, nrm
 
 
 def room_surface(n: int, half: float = _ROOM_HALF, seed: int = 0):
@@ -136,10 +154,11 @@ def main():
     ap.add_argument("--tag", default="",
                     help="artifact suffix (e.g. 'grids' -> results_grids.json)")
     ap.add_argument("--shape", default="sphere",
-                    choices=("sphere", "union", "room"),
+                    choices=("sphere", "union", "room", "torus"),
                     help="GT geometry: analytic sphere, the textured "
-                    "sphere+torus union scene (VERDICT r3 #5), or the "
-                    "indoor EST-cue box room (VERDICT r4 #2)")
+                    "sphere+torus union scene (VERDICT r3 #5), the "
+                    "indoor EST-cue box room (VERDICT r4 #2), or the "
+                    "genus-1 torus (VERDICT r4 #3 grids topology)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -160,7 +179,7 @@ def main():
             "make_synthetic_scene", data_root,
             "--n", str(args.views), "--res", str(args.res),
         ]
-        if args.shape in ("union", "room"):
+        if args.shape in ("union", "room", "torus"):
             argv += ["--shape", args.shape]
         else:
             argv += ["--radius", str(GT_RADIUS)]
@@ -205,6 +224,9 @@ def main():
         radius_err = None  # no single-radius notion for the union (JSON null)
     elif args.shape == "room":
         pg, gn = room_surface(200_000)
+        radius_err = None
+    elif args.shape == "torus":
+        pg, gn = torus_surface(200_000)
         radius_err = None
     else:
         pg = fibonacci_sphere(200_000, GT_RADIUS)
@@ -253,6 +275,12 @@ def main():
         "mesh_verts": int(len(verts)),
         "mesh_faces": int(len(faces)),
     }
+    if args.shape == "torus":
+        from monosdf_tpu.meshing.alt_extract import mesh_topology
+
+        topo = mesh_topology(np.asarray(verts), np.asarray(faces))
+        results["genus"] = topo.get("genus")
+        results["watertight"] = topo.get("watertight")
     print(json.dumps(results, indent=2))
 
     # ---- artifacts ----
