@@ -372,7 +372,7 @@ def room_run(tmp_path_factory):
     finally:
         sys.argv = old
 
-    return root / "exps" / "qgate-synth_room_quality", conf_add, data_root
+    return root / "exps" / "qgate-synth_room_tiny", conf_add, data_root
 
 
 class TestRoomGate:
