@@ -100,6 +100,12 @@ class HashGridConfig:
     # narrow (hms, C) views survive only for the small dense levels and
     # the non-flagship rows/oct paths.
     param_flat: bool = False
+    # Split every fold-path table row-gather into K independent takes of
+    # N/K rows (static slices of the index vector, concatenated after).
+    # Probe wave 7 measured K=4 independent takes ~12% faster than one
+    # (45.8 vs 52.0 ms for the same 4.2M rows) and XLA can overlap the
+    # pieces with trunk compute independently. 1 = single take.
+    gather_chunks: int = 1
     # Serve the sampler's coarse-level-only NO-GRAD sweeps
     # (MonoSDFConfig.sweep_max_level = K) from a derived OCT table of the
     # first K levels, built once per step alongside the quad cache: ONE
@@ -218,6 +224,23 @@ def _table_take(emb: jnp.ndarray, idx: jnp.ndarray, scatter_impl: str):
         return d.astype(emb.dtype)
 
     return linear_call(fwd, bwd, idx, emb)
+
+
+def _chunked_take(table: jnp.ndarray, ix: jnp.ndarray, chunks: int):
+    """``table[ix]`` as ``chunks`` independent row-gathers over static
+    slices of the index vector (see HashGridConfig.gather_chunks). Exact:
+    concatenation of the per-chunk takes in order."""
+    if chunks <= 1:
+        return jnp.take(table, ix, axis=0)
+    n = ix.shape[0]
+    bounds = [n * k // chunks for k in range(chunks + 1)]
+    return jnp.concatenate(
+        [
+            jnp.take(table, ix[bounds[k]:bounds[k + 1]], axis=0)
+            for k in range(chunks)
+        ],
+        axis=0,
+    )
 
 
 def _corner_index(pos_grid, hashmap_size: int, resolution: int, dense: bool):
@@ -640,7 +663,7 @@ def _quad_take_fold(emb: jnp.ndarray, cfg: HashGridConfig, rows: jnp.ndarray,
                 quad = _build_quad_mixed({"embeddings": e}, cfg)
             else:
                 quad = build_quad_table({"embeddings": e}, cfg)
-        return jnp.take(quad, ix[:2].reshape(-1), axis=0)
+        return _chunked_take(quad, ix[:2].reshape(-1), cfg.gather_chunks)
 
     def bwd(res, ct):  # ct (2*L*B, 4C) -> d_emb shaped like emb
         ix, _ = res
@@ -717,7 +740,7 @@ def _oct_take_fold(emb: jnp.ndarray, cfg: HashGridConfig, rows: jnp.ndarray,
         ix, oct_t = res
         if oct_t is None:
             oct_t = build_oct_table({"embeddings": e}, cfg)
-        return jnp.take(oct_t, ix.reshape(-1), axis=0)
+        return _chunked_take(oct_t, ix.reshape(-1), cfg.gather_chunks)
 
     def bwd(res, ct):  # ct (L*B, 8C)
         ix, _ = res

@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--sweep_max_level", type=int, default=0,
                     help="grid mode: sampler sweeps use only the first K "
                     "levels (0 = full schedule)")
+    ap.add_argument("--gather_chunks", type=int, default=1,
+                    help="grid mode: split fold-path table gathers into K "
+                    "independent takes (HashGridConfig.gather_chunks)")
     ap.add_argument("--sweep_oct", action="store_true",
                     help="grid mode: serve the coarse sweeps from a "
                     "per-step oct cache (one 8C row/level-point)")
@@ -86,6 +89,7 @@ def main():
                 hash_scheme=args.hash_scheme, layout=args.layout,
                 fold_impl=args.fold_impl, build_impl=args.build_impl,
                 param_flat=args.param_flat,
+                gather_chunks=args.gather_chunks,
                 sweep_oct_levels=(
                     args.sweep_max_level if args.sweep_oct else 0
                 ),
