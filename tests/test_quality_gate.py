@@ -426,3 +426,96 @@ class TestRoomGate:
                     f"face axis={ax} sign={sg:+.0f} missing from the mesh "
                     f"({int(on_face.sum())} verts)"
                 )
+
+
+@pytest.fixture(scope="module")
+def hdr_run(tmp_path_factory):
+    """HDR/gamma/spec gate (VERDICT r4 #7): the union scene rendered in
+    LINEAR HDR (EXR images, Blinn-Phong highlights > 1) trained with
+    if_hdr + gamma-curve rgb loss + the diffuse+specular split head
+    (reference loss.py:209-215, network.py:427-454)."""
+    root = tmp_path_factory.mktemp("qgate_hdr")
+    data_root = root / "data"
+
+    import make_synthetic_scene
+
+    old = sys.argv
+    sys.argv = [
+        "gen", str(data_root), "--n", "10", "--res", "48",
+        "--shape", "union", "--hdr",
+    ]
+    try:
+        make_synthetic_scene.main()
+    finally:
+        sys.argv = old
+
+    conf_add = root / "hdr.conf"
+    conf_add.write_text(
+        "train{ num_pixels = 256, expname = synth_hdr_tiny,"
+        " checkpoint_freq = 500, plot_freq = 2000 }\n"
+        "plot{ resolution = 64 }\n"
+        "dataset{ img_res = [48, 48] }\n"
+        "tpu{ sampler_backend = jnp, diff_backend = jnp, rgb_backend = jnp,"
+        " sampler_machinery = jnp, mixed_precision = False,"
+        " compute_dtype = float32 }\n"
+        "model{ feature_vector_size = 64,"
+        " implicit_network{ dims = [64, 64, 64, 64], skip_in = [2] },"
+        " rendering_network{ dims = [64, 64] },"
+        " ray_sampler{ N_samples = 32, N_samples_eval = 64,"
+        " N_samples_extra = 16 } }\n"
+    )
+
+    from monosdf_tpu.cli.train import main as train_main
+
+    sys.argv = [
+        "train", "--conf", "confs/synth_union_hdr.conf",
+        "--conf_add", str(conf_add),
+        "--data_root", str(data_root), "--exps_root", str(root / "exps"),
+        "--n_devices", "1", "--timestamp", "qgate", "--max_iters", "900",
+    ]
+    try:
+        train_main()
+    finally:
+        sys.argv = old
+
+    return root / "exps" / "qgate-synth_hdr_tiny"
+
+
+class TestHDRGate:
+    def test_hdr_gamma_spec_converges(self, hdr_run):
+        rows = [json.loads(l) for l in open(hdr_run / "metrics.jsonl")]
+        tail = rows[-5:]
+        loss = float(np.mean([r["loss"] for r in tail]))
+        first = float(np.mean([r["loss"] for r in rows[:5]]))
+        # 1200-iter CPU smoke: loss 0.64 -> 0.13; generous band at 900
+        assert loss <= 0.22, f"HDR loss {loss:.3f} > 0.22 after 900 iters"
+        assert loss < 0.5 * first, (
+            f"HDR loss barely moved ({first:.3f} -> {loss:.3f})"
+        )
+
+    def test_geometry_survives_hdr_radiance(self, hdr_run):
+        """Highlights >1 must be absorbed by the spec head + gamma loss,
+        not bought with geometry: the end-of-run mesh stays on the union
+        SDF (1200-iter CPU smoke measured mean |sdf| 0.0098)."""
+        from monosdf_tpu.meshing import read_ply
+
+        plys = sorted((hdr_run / "plots").glob("*.ply"))
+        assert plys, "no mesh written"
+        v, _ = read_ply(str(plys[-1]))
+        assert len(v) > 1500
+        d = np.abs(_union_sdf_np(np.asarray(v)))
+        assert float(d.mean()) <= 0.045, (
+            f"HDR mesh mean |union sdf| {float(d.mean()):.3f} > 0.045"
+        )
+
+
+def _union_sdf_np(p):
+    sph_c = np.array([-0.36, 0.05, 0.0])
+    sph_r = 0.25
+    tor_c = np.array([0.34, -0.02, 0.0])
+    tor_R, tor_r = 0.24, 0.1
+    ds = np.linalg.norm(p - sph_c, axis=-1) - sph_r
+    q = p - tor_c
+    rho = np.sqrt(q[..., 0] ** 2 + q[..., 1] ** 2)
+    dt = np.sqrt((rho - tor_R) ** 2 + q[..., 2] ** 2) - tor_r
+    return np.minimum(ds, dt)
