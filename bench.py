@@ -65,11 +65,13 @@ def main():
                 log2_hashmap_size=19, desired_resolution=2048,
                 table_dtype="bfloat16", scatter_impl="fold",
                 hash_scheme="add", layout="quad",
-                # round-4 production encoding (PERFORMANCE.md round-4):
+                # round-4/5 production encoding (PERFORMANCE.md):
                 # Pallas fold/build kernels + flat 1-D table parameter +
-                # oct-served coarse sweeps (one 8C gather row/level-point)
+                # oct-served coarse sweeps (one 8C gather row/level-point);
+                # round-5 sweep budget: 6 coarse levels (quality-gated by
+                # the 20k torus-grids evidence run, QUALITY.md round 5)
                 fold_impl="pallas", build_impl="pallas", param_flat=True,
-                sweep_oct_levels=8,
+                sweep_oct_levels=6,
             ),
             divide_factor=1.1, sdf_bounding_sphere=0.0,
         )
@@ -86,7 +88,13 @@ def main():
         ),
         sampler=SamplerConfig(
             scene_bounding_sphere=1.1, N_samples=64, N_samples_eval=128,
-            N_samples_extra=32, max_total_iters=5, intersection="cube",
+            N_samples_extra=32,
+            # grids: 4 upsampling rounds (round 5) — the reference's own
+            # loop exits early on convergence (ray_sampler.py:125,178-179);
+            # statically budgeting 4 rounds matches that semantics and is
+            # quality-gated by the 20k torus-grids run (QUALITY.md).
+            # MLP mode keeps the reference's full max_total_iters=5.
+            max_total_iters=4 if grids else 5, intersection="cube",
             # MLP: fused bisection/error-bound/pdf kernel (pallas_sampler.py)
             # grids: jnp machinery (the measured-best grid-mode combination)
             machinery="jnp" if grids else "pallas",
@@ -102,7 +110,7 @@ def main():
         # grids: coarse-level-only sampler sweeps (Neuralangelo-style level
         # masking on the no-grad sample-placement path; quality-gated in
         # QUALITY.md) — the sweep gathers are the measured wall
-        sweep_max_level=8 if grids else None,
+        sweep_max_level=6 if grids else None,
     )
 
     params = init_monosdf(jax.random.PRNGKey(0), cfg)
