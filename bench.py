@@ -70,8 +70,11 @@ def main():
                 # oct-served coarse sweeps (one 8C gather row/level-point);
                 # round-5 sweep budget: 6 coarse levels (quality-gated by
                 # the 20k torus-grids evidence run, QUALITY.md round 5)
+                # round-5: every fold-path table gather splits into 4
+                # independent takes (probe wave 7: K=4 takes run ~12%
+                # faster; values bitwise identical)
                 fold_impl="pallas", build_impl="pallas", param_flat=True,
-                sweep_oct_levels=6,
+                gather_chunks=4, sweep_oct_levels=6,
             ),
             divide_factor=1.1, sdf_bounding_sphere=0.0,
         )

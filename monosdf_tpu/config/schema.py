@@ -79,6 +79,7 @@ def build_configs(conf: dict) -> ExperimentConfig:
         fold_impl=str(_get(imp, "fold_impl", "xla")),
         build_impl=str(_get(imp, "build_impl", "xla")),
         param_flat=bool(_get(imp, "param_flat", False)),
+        gather_chunks=int(_get(imp, "gather_chunks", 1)),
     )
     implicit = ImplicitNetConfig(
         feature_vector_size=feat,
