@@ -153,6 +153,9 @@ def main():
                     help="train.expname of --conf (names the run dir)")
     ap.add_argument("--tag", default="",
                     help="artifact suffix (e.g. 'grids' -> results_grids.json)")
+    ap.add_argument("--hdr", action="store_true",
+                    help="generate the scene in linear HDR (EXR images, "
+                    "union shape; pair with confs/synth_union_hdr.conf)")
     ap.add_argument("--shape", default="sphere",
                     choices=("sphere", "union", "room", "torus"),
                     help="GT geometry: analytic sphere, the textured "
@@ -183,6 +186,8 @@ def main():
             argv += ["--shape", args.shape]
         else:
             argv += ["--radius", str(GT_RADIUS)]
+        if args.hdr:
+            argv += ["--hdr"]
         run_cli(gen.main, argv)
 
     run_dir = os.path.join(exps_root, f"quality-{args.expname}")
