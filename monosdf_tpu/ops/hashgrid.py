@@ -549,21 +549,30 @@ def _build_quad_mixed(params: dict, cfg: HashGridConfig) -> jnp.ndarray:
     assert cfg.hash_scheme == "add"
     C = cfg.level_dim
     emb = params["embeddings"]
-    if cfg.table_dtype != "float32":
-        emb = emb.astype(jnp.dtype(cfg.table_dtype))
     flat = emb.ndim == 1
     levels = cfg.level_params()
     shifts = _level_shifts(cfg)
     h0, n_hash, hms, (s1, s2) = _hash_group(cfg)
 
+    # dtype cast PER PIECE, after slicing/reshaping to the piece's final
+    # layout: casting the whole flat vector up front hands XLA a bf16
+    # flat tensor whose downstream canonicalization re-materialized a
+    # narrow (T, 2) view (6.7 ms/step in the round-5 final profile); cast
+    # on the wide (n_hash, R, 128) view instead and no narrow bf16
+    # tensor ever exists
+    def cast(a):
+        if cfg.table_dtype != "float32":
+            return a.astype(jnp.dtype(cfg.table_dtype))
+        return a
+
     blocks = []
     for (off, lhms, _, _), (ls1, _) in zip(levels[:h0], shifts[:h0]):
         if flat:
-            blk = jax.lax.slice_in_dim(
+            blk = cast(jax.lax.slice_in_dim(
                 emb, C * off, C * (off + lhms), axis=0
-            ).reshape(lhms, C)
+            ).reshape(lhms, C))
         else:
-            blk = jax.lax.slice_in_dim(emb, off, off + lhms, axis=0)
+            blk = cast(jax.lax.slice_in_dim(emb, off, off + lhms, axis=0))
         blocks.append(
             jnp.concatenate(
                 [
@@ -582,7 +591,7 @@ def _build_quad_mixed(params: dict, cfg: HashGridConfig) -> jnp.ndarray:
         )
     else:
         embh = jax.lax.slice_in_dim(emb, off_h, off_h + n_hash * hms, axis=0)
-    masterp = embh.reshape(n_hash, hms // 64, 128)
+    masterp = cast(embh.reshape(n_hash, hms // 64, 128))
     quad_h = build_quad_hash(
         masterp, (0, 1, s1, s1 + 1), hms, tb=_pick_tb(hms // 64)
     )

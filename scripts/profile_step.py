@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--param_flat", action="store_true")
     ap.add_argument("--sweep_max_level", type=int, default=0)
     ap.add_argument("--sweep_oct", action="store_true")
+    ap.add_argument("--gather_chunks", type=int, default=1)
+    ap.add_argument("--sampler_iters", type=int, default=5)
     args = ap.parse_args()
 
     import jax
@@ -61,6 +63,7 @@ def main():
                 hash_scheme=args.hash_scheme, layout=args.layout,
                 fold_impl=args.fold_impl, build_impl=args.build_impl,
                 param_flat=args.param_flat,
+                gather_chunks=args.gather_chunks,
                 sweep_oct_levels=(
                     args.sweep_max_level if args.sweep_oct else 0
                 ),
@@ -79,8 +82,8 @@ def main():
         ),
         sampler=SamplerConfig(
             scene_bounding_sphere=1.1, N_samples=64, N_samples_eval=128,
-            N_samples_extra=32, max_total_iters=5, intersection="cube",
-            machinery=args.machinery,
+            N_samples_extra=32, max_total_iters=args.sampler_iters,
+            intersection="cube", machinery=args.machinery,
         ),
         scene_bounding_sphere=1.1,
         compute_dtype="bfloat16", mixed_precision=True,
